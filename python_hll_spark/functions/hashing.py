@@ -1,0 +1,62 @@
+"""Vectorized 64-bit hashing for the Python side of sketch pipelines.
+
+The reference library takes pre-hashed signed longs and does no hashing
+itself (hll.py:226-230 instructs callers to hash).  Our engine hashes at
+two tiers:
+
+- strings / composite keys: Spark's built-in ``xxhash64`` (JVM-side,
+  whole-stage codegen) BEFORE crossing into Python, so only an int64 column
+  hits Arrow;
+- token int32 arrays already inside a pandas batch: numpy splitmix64
+  (public-domain finalizer from Steele et al., "Fast Splittable
+  Pseudorandom Number Generators", also used as the murmur64 finalizer
+  family) — one fused vector pass, no per-row Python.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+_U64 = np.uint64
+
+_SM64_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM64_MUL1 = _U64(0xBF58476D1CE4E5B9)
+_SM64_MUL2 = _U64(0x94D049BB133111EB)
+
+
+def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
+    """SplitMix64 finalizer over a uint64/int64 array -> signed int64 hashes."""
+    z = x.astype(np.int64, copy=False).view(_U64) + _SM64_GAMMA * _U64((seed & 0xFFFFFFFFFFFFFFFF) + 1)
+    z = (z ^ (z >> _U64(30))) * _SM64_MUL1
+    z = (z ^ (z >> _U64(27))) * _SM64_MUL2
+    z = z ^ (z >> _U64(31))
+    return z.view(np.int64)
+
+
+def hash_tokens(tokens: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Hash int32 token ids to well-mixed signed int64 (HLL/CMS/Bloom input)."""
+    return splitmix64(tokens.astype(np.int64, copy=False), seed=seed)
+
+
+def hash_strings(values, seed: int = 0) -> np.ndarray:
+    """Vectorized string hashing inside a pandas batch (FNV-1a 64 over utf-8,
+    then splitmix64 finalize).  Prefer JVM-side F.xxhash64 when the hash can
+    be computed before the Arrow boundary; this exists for pure-Python paths
+    (e.g. local oracles and tests)."""
+    joined = "\x00".join(values) if len(values) else ""
+    buf = np.frombuffer(joined.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+    lengths = np.array([len(v.encode("utf-8", "surrogatepass")) for v in values],
+                       dtype=np.int64)
+    out = np.empty(len(values), dtype=np.uint64)
+    h0 = _U64(0xCBF29CE484222325)
+    prime = _U64(0x100000001B3)
+    pos = 0
+    # per-string FNV accumulation (bounded by total bytes, not rows; this
+    # path is off the 100TB hot loop — strings are hashed JVM-side there)
+    for i, ln in enumerate(lengths):
+        h = h0
+        for b in buf[pos:pos + ln]:
+            h = (h ^ _U64(b)) * prime
+        out[i] = h
+        pos += ln + 1
+    return splitmix64(out.view(np.int64), seed=seed)

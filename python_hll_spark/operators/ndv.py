@@ -1,0 +1,65 @@
+"""Approximate-NDV queries over token-sequence tables (the north-star query).
+
+All heavy lifting is Spark-first: column pruning happens because we select
+only the needed columns before mapInPandas; string keys are hashed JVM-side
+with xxhash64 inside whole-stage codegen so only int64s cross Arrow.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from python_hll_spark.functions.hashing import hash_tokens
+from python_hll_spark.operators.aggregate import sketch_global, sketch_groupby
+from python_hll_spark.sketches.hll import HLLConfig
+from python_hll_spark.sketches.specs import HLLSpec
+
+
+def _tokens_extractor(pdf) -> np.ndarray:
+    arrs = [np.asarray(a, dtype=np.int64) for a in pdf["tokens"] if a is not None and len(a)]
+    if not arrs:
+        return np.empty(0, dtype=np.int64)
+    return hash_tokens(np.concatenate(arrs))
+
+
+def _hashed_col_extractor(col: str):
+    def extract(pdf) -> np.ndarray:
+        return pdf[col].to_numpy(dtype=np.int64)
+    return extract
+
+
+def hll_ndv_tokens(df: DataFrame, by: list[str] | None = None,
+                   cfg: HLLConfig | None = None, n_salts: int = 16) -> DataFrame:
+    """Approx NDV of exploded ``tokens`` (optionally per group).
+
+    Returns (by..., ndv bigint, state binary)."""
+    from python_hll_spark.functions.sketch_funcs import hll_cardinality
+
+    spec = HLLSpec(cfg or HLLConfig.create(11, 5))
+    cols = (by or []) + ["tokens"]
+    pruned = df.select(*cols)
+    if by:
+        states = sketch_groupby(pruned, by, _tokens_extractor, spec, n_salts=n_salts)
+    else:
+        states = sketch_global(pruned, _tokens_extractor, spec, n_salts=n_salts)
+    return states.withColumn("ndv", hll_cardinality(F.col("state")))
+
+
+def hll_ndv_column(df: DataFrame, value_col: str, by: list[str] | None = None,
+                   cfg: HLLConfig | None = None, n_salts: int = 16) -> DataFrame:
+    """Approx NDV of an arbitrary column: values are hashed to int64 with
+    JVM-side xxhash64 (codegen) before the Python boundary.
+
+    Returns (by..., ndv bigint, state binary)."""
+    from python_hll_spark.functions.sketch_funcs import hll_cardinality
+
+    spec = HLLSpec(cfg or HLLConfig.create(11, 5))
+    hashed = df.select(*(by or []), F.xxhash64(F.col(value_col)).alias("__h"))
+    extractor = _hashed_col_extractor("__h")
+    if by:
+        states = sketch_groupby(hashed, by, extractor, spec, n_salts=n_salts)
+    else:
+        states = sketch_global(hashed, extractor, spec, n_salts=n_salts)
+    return states.withColumn("ndv", hll_cardinality(F.col("state")))

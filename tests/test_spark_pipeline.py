@@ -1,0 +1,104 @@
+"""End-to-end Spark pipeline tests: distributed golden-vector replay,
+NDV error bounds on the synthetic seqs table, and the per-row token-array
+invariant."""
+
+import csv
+import os
+
+import numpy as np
+import pytest
+
+from python_hll_spark.operators.aggregate import sketch_global, sketch_groupby
+from python_hll_spark.operators.ndv import hll_ndv_column, hll_ndv_tokens
+from python_hll_spark.sketches.hll import HLLConfig, HLLSketch
+from python_hll_spark.sketches.specs import HLLSpec
+from python_hll_spark.sources.seqs import generate_docs, seqs_table
+
+DATA = "/root/reference/tests/data"
+
+
+def test_distributed_vector_replay_matches_single_process(spark):
+    """Golden-vector raw values pushed through the full distributed pipeline
+    (partition -> partial -> salted merges) must produce the byte-identical
+    sketch a single sequential build produces: distribution must not change
+    semantics (SURVEY.md §5.2)."""
+    with open(os.path.join(DATA, "cumulative_add_sparse_random.csv")) as f:
+        rows = list(csv.DictReader(f))
+    values = [int(r["raw_value"]) for r in rows[1:]]
+    # seed state: sketch from row 1 replayed in-process
+    cfg = HLLSketch.from_hex(rows[0]["multiset"]).cfg
+
+    seq = HLLSketch(cfg)
+    seq.add_hashed(np.array(values, dtype=np.int64))
+
+    spec = HLLSpec(cfg)
+    df = spark.createDataFrame([(v,) for v in values], "raw bigint").repartition(8)
+    out = sketch_global(df, lambda pdf: pdf["raw"].to_numpy(dtype=np.int64), spec,
+                        n_salts=4).collect()
+    assert len(out) == 1
+    assert bytes(out[0]["state"]) == seq.to_bytes()
+    assert out[0]["n_values"] == len(values)
+
+
+def test_ndv_tokens_within_bound(spark):
+    df = seqs_table(spark, 400, partitions=8)
+    cfg = HLLConfig.create(11, 5)
+    res = hll_ndv_tokens(df, cfg=cfg).collect()[0]
+
+    from pyspark.sql import functions as F
+    exact = (df.select(F.explode("tokens").alias("t"))
+             .agg(F.countDistinct("t")).collect()[0][0])
+    rel = abs(res["ndv"] - exact) / exact
+    assert rel < 3 * cfg.error_bound, (res["ndv"], exact, rel)
+
+
+def test_ndv_per_source_within_bound(spark):
+    df = seqs_table(spark, 400, partitions=8)
+    cfg = HLLConfig.create(11, 5)
+    got = {r["source"]: r["ndv"] for r in hll_ndv_tokens(df, by=["source"], cfg=cfg).collect()}
+
+    from pyspark.sql import functions as F
+    exact = {r["source"]: r["ndv"] for r in
+             df.select("source", F.explode("tokens").alias("t"))
+               .groupBy("source").agg(F.countDistinct("t").alias("ndv")).collect()}
+    assert set(got) == set(exact)
+    for src, e in exact.items():
+        rel = abs(got[src] - e) / e
+        assert rel < 4 * cfg.error_bound, (src, got[src], e)
+
+
+def test_ndv_string_column(spark):
+    df = seqs_table(spark, 300, partitions=4)
+    cfg = HLLConfig.create(13, 5)
+    res = hll_ndv_column(df, "doc_id", cfg=cfg).collect()[0]
+    rel = abs(res["ndv"] - 300) / 300
+    assert rel < 4 * cfg.error_bound, (res["ndv"], rel)
+
+
+def test_seqs_per_row_token_invariant(spark):
+    """tokens arrays must be byte-equal to the deterministic generator output
+    after a Spark round trip (shuffle + Arrow)."""
+    df = seqs_table(spark, 50, partitions=4).repartition(7)
+    rows = {r["doc_id"]: np.array(r["tokens"], dtype=np.int32) for r in df.collect()}
+    doc_ids, tokens, n_toks, _ = generate_docs(np.arange(50))
+    assert set(rows) == set(doc_ids)
+    for did, toks in zip(doc_ids, tokens):
+        assert np.array_equal(rows[did], toks), did
+        assert len(rows[did]) == n_toks[list(doc_ids).index(did)]
+
+
+def test_merge_partials_grouped_bytes_match(spark):
+    """Grouped distributed build equals per-group sequential build, byte-exact."""
+    df = seqs_table(spark, 200, partitions=8)
+    cfg = HLLConfig.create(11, 5)
+    spec = HLLSpec(cfg)
+    got = {r["source"]: bytes(r["state"])
+           for r in hll_ndv_tokens(df, by=["source"], cfg=cfg).collect()}
+
+    from python_hll_spark.functions.hashing import hash_tokens
+    pdf = df.toPandas()
+    for src, sub in pdf.groupby("source"):
+        seq = HLLSketch(cfg)
+        seq.add_hashed(hash_tokens(np.concatenate([np.asarray(t, dtype=np.int64)
+                                                   for t in sub["tokens"]])))
+        assert got[src] == seq.to_bytes(), src
