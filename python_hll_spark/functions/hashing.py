@@ -26,7 +26,8 @@ _SM64_MUL2 = _U64(0x94D049BB133111EB)
 
 def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     """SplitMix64 finalizer over a uint64/int64 array -> signed int64 hashes."""
-    z = x.astype(np.int64, copy=False).view(_U64) + _SM64_GAMMA * _U64((seed & 0xFFFFFFFFFFFFFFFF) + 1)
+    gamma = _U64((0x9E3779B97F4A7C15 * ((seed & 0xFFFFFFFFFFFFFFFF) + 1)) & 0xFFFFFFFFFFFFFFFF)
+    z = x.astype(np.int64, copy=False).view(_U64) + gamma
     z = (z ^ (z >> _U64(30))) * _SM64_MUL1
     z = (z ^ (z >> _U64(27))) * _SM64_MUL2
     z = z ^ (z >> _U64(31))

@@ -1,0 +1,92 @@
+"""Bloom filter: packed-bitarray numpy kernel with OR-merge.
+
+New capability per BASELINE.json north_rule (token-membership queries).
+k hash functions via Kirsch-Mitzenmacher double hashing over splitmix64;
+m is kept a power of two so the modulo is a mask.  False-positive rate
+follows the published (1 - e^(-kn/m))^k; no false negatives by construction.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from python_hll_spark.functions.hashing import splitmix64
+
+_MAGIC = b"BLM1"
+
+
+@dataclass(frozen=True)
+class BloomConfig:
+    log2_bits: int = 23  # 8 Mbit = 1 MiB packed
+    num_hashes: int = 7
+    seed: int = 0
+
+    @property
+    def n_bits(self) -> int:
+        return 1 << self.log2_bits
+
+    @staticmethod
+    def from_capacity(n_items: int, fp_rate: float = 0.01, seed: int = 0) -> "BloomConfig":
+        m = max(64, int(-n_items * math.log(fp_rate) / (math.log(2) ** 2)))
+        log2_bits = max(6, math.ceil(math.log2(m)))
+        k = max(1, round((1 << log2_bits) / n_items * math.log(2))) if n_items else 7
+        return BloomConfig(log2_bits=log2_bits, num_hashes=min(int(k), 16), seed=seed)
+
+    def expected_fp_rate(self, n_items: int) -> float:
+        return (1.0 - math.exp(-self.num_hashes * n_items / self.n_bits)) ** self.num_hashes
+
+
+class BloomSketch:
+    __slots__ = ("cfg", "bits", "n_added")
+
+    def __init__(self, cfg: BloomConfig):
+        self.cfg = cfg
+        self.bits = np.zeros(cfg.n_bits >> 3, dtype=np.uint8)
+        self.n_added = 0
+
+    def _bit_positions(self, hashed: np.ndarray) -> np.ndarray:
+        h1 = splitmix64(hashed, seed=self.cfg.seed).view(np.uint64)
+        h2 = splitmix64(hashed, seed=self.cfg.seed + 1).view(np.uint64) | np.uint64(1)
+        ks = np.arange(self.cfg.num_hashes, dtype=np.uint64)[:, None]
+        mask = np.uint64(self.cfg.n_bits - 1)
+        return ((h1[None, :] + ks * h2[None, :]) & mask).astype(np.int64).ravel()
+
+    def update(self, hashed: np.ndarray) -> None:
+        if len(hashed) == 0:
+            return
+        pos = self._bit_positions(np.asarray(hashed, dtype=np.int64))
+        np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        self.n_added += len(hashed)
+
+    def might_contain(self, hashed: np.ndarray) -> np.ndarray:
+        if len(hashed) == 0:
+            return np.empty(0, dtype=bool)
+        n = len(hashed)
+        pos = self._bit_positions(np.asarray(hashed, dtype=np.int64)).reshape(
+            self.cfg.num_hashes, n)
+        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
+        return hit.all(axis=0).astype(bool)
+
+    def merge(self, other: "BloomSketch") -> None:
+        if other.cfg != self.cfg:
+            raise ValueError("Bloom merge with mismatched config")
+        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        self.n_added += other.n_added
+
+    def to_bytes(self) -> bytes:
+        head = _MAGIC + struct.pack("<iiqq", self.cfg.log2_bits, self.cfg.num_hashes,
+                                    self.cfg.seed, self.n_added)
+        return head + self.bits.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "BloomSketch":
+        assert data[:4] == _MAGIC, "not a BLM1 blob"
+        log2_bits, k, seed, n_added = struct.unpack("<iiqq", data[4:28])
+        sk = cls(BloomConfig(log2_bits, k, seed))
+        sk.bits = np.frombuffer(data[28:], dtype=np.uint8).copy()
+        sk.n_added = n_added
+        return sk

@@ -1,0 +1,102 @@
+"""Count-min sketch: vectorized numpy kernel with sum-merge.
+
+New capability mandated by BASELINE.json north_rule (the reference library
+has no CMS — hll.py is its only sketch).  Standard Cormode-Muthukrishnan
+bounds: point estimates overcount by at most eps*N with probability >=
+1-delta, where eps = e/width and delta = e^-depth.  Row hashing uses the
+Kirsch-Mitzenmacher double-hashing scheme over splitmix64, so updates for
+all depth rows derive from two vector hashes.
+"""
+
+from __future__ import annotations
+
+import math
+import struct
+from dataclasses import dataclass
+
+import numpy as np
+
+from python_hll_spark.functions.hashing import splitmix64
+
+_MAGIC = b"CMS1"
+
+
+@dataclass(frozen=True)
+class CMSConfig:
+    depth: int = 5
+    width: int = 16384
+    seed: int = 0
+
+    @property
+    def eps(self) -> float:
+        return math.e / self.width
+
+    @property
+    def delta(self) -> float:
+        return math.exp(-self.depth)
+
+    @staticmethod
+    def from_error(eps: float, delta: float, seed: int = 0) -> "CMSConfig":
+        return CMSConfig(depth=int(math.ceil(math.log(1.0 / delta))),
+                         width=int(math.ceil(math.e / eps)), seed=seed)
+
+
+class CMSSketch:
+    """counts[d, w] of int64; merge = elementwise sum (commutative monoid)."""
+
+    __slots__ = ("cfg", "counts", "total")
+
+    def __init__(self, cfg: CMSConfig):
+        self.cfg = cfg
+        self.counts = np.zeros((cfg.depth, cfg.width), dtype=np.int64)
+        self.total = 0
+
+    def _row_indices(self, hashed: np.ndarray) -> np.ndarray:
+        """(depth, n) column indices via double hashing."""
+        h1 = splitmix64(hashed, seed=self.cfg.seed).view(np.uint64)
+        h2 = splitmix64(hashed, seed=self.cfg.seed + 1).view(np.uint64) | np.uint64(1)
+        rows = np.arange(self.cfg.depth, dtype=np.uint64)[:, None]
+        return ((h1[None, :] + rows * h2[None, :]) % np.uint64(self.cfg.width)).astype(np.int64)
+
+    def update(self, hashed: np.ndarray, weights: np.ndarray | None = None) -> None:
+        if len(hashed) == 0:
+            return
+        idx = self._row_indices(np.asarray(hashed, dtype=np.int64))
+        if weights is None:
+            self.total += len(hashed)
+            for d in range(self.cfg.depth):
+                self.counts[d] += np.bincount(idx[d], minlength=self.cfg.width)
+        else:
+            w = np.asarray(weights, dtype=np.int64)
+            self.total += int(w.sum())
+            for d in range(self.cfg.depth):
+                self.counts[d] += np.bincount(idx[d], weights=w,
+                                              minlength=self.cfg.width).astype(np.int64)
+
+    def estimate(self, hashed: np.ndarray) -> np.ndarray:
+        """Point-frequency estimates (vectorized over queries)."""
+        if len(hashed) == 0:
+            return np.empty(0, dtype=np.int64)
+        idx = self._row_indices(np.asarray(hashed, dtype=np.int64))
+        ests = self.counts[np.arange(self.cfg.depth)[:, None], idx]
+        return ests.min(axis=0)
+
+    def merge(self, other: "CMSSketch") -> None:
+        if other.cfg != self.cfg:
+            raise ValueError("CMS merge with mismatched config")
+        self.counts += other.counts
+        self.total += other.total
+
+    def to_bytes(self) -> bytes:
+        head = _MAGIC + struct.pack("<iiqq", self.cfg.depth, self.cfg.width,
+                                    self.cfg.seed, self.total)
+        return head + self.counts.tobytes()
+
+    @classmethod
+    def from_bytes(cls, data: bytes) -> "CMSSketch":
+        assert data[:4] == _MAGIC, "not a CMS1 blob"
+        depth, width, seed, total = struct.unpack("<iiqq", data[4:28])
+        sk = cls(CMSConfig(depth, width, seed))
+        sk.counts = np.frombuffer(data[28:], dtype=np.int64).reshape(depth, width).copy()
+        sk.total = total
+        return sk
