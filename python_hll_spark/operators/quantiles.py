@@ -1,0 +1,49 @@
+"""Distributed quantile profiles via KLL (primary) or t-digest."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, DoubleType
+
+from python_hll_spark.operators.aggregate import sketch_global, sketch_groupby
+from python_hll_spark.sketches.kll import KLLConfig
+from python_hll_spark.sketches.specs import KLLSpec, TDigestSpec
+from python_hll_spark.sketches.tdigest import TDigestConfig
+
+
+def _value_extractor(col: str):
+    def extract(pdf: pd.DataFrame) -> np.ndarray:
+        return pdf[col].to_numpy(dtype=np.float64)
+    return extract
+
+
+def _quantile_udf(spec, qs: list[float]):
+    @F.pandas_udf(ArrayType(DoubleType()))
+    def finalize(states: pd.Series) -> pd.Series:
+        qarr = np.asarray(qs, dtype=np.float64)
+        return states.map(
+            lambda b: [float(x) for x in spec.deserialize(bytes(b)).quantile(qarr)])
+    return finalize
+
+
+def sketch_quantiles(df: DataFrame, value_col: str, qs: list[float],
+                     by: list[str] | None = None, method: str = "kll",
+                     k: int = 200, compression: float = 100.0) -> DataFrame:
+    """(by..., quantiles array<double>, state binary) for normalized ranks qs."""
+    if method == "kll":
+        spec = KLLSpec(KLLConfig(k=k))
+    elif method == "tdigest":
+        spec = TDigestSpec(TDigestConfig(compression=compression))
+    else:
+        raise ValueError(f"unknown quantile method {method!r}")
+    cols = (by or []) + [value_col]
+    pruned = df.select(*cols)
+    extractor = _value_extractor(value_col)
+    if by:
+        states = sketch_groupby(pruned, by, extractor, spec)
+    else:
+        states = sketch_global(pruned, extractor, spec)
+    return states.withColumn("quantiles", _quantile_udf(spec, qs)(F.col("state")))

@@ -1,0 +1,77 @@
+"""Spark-level tests for heavy hitters, quantiles, and membership operators
+against exact oracles on the deterministic testdata tables."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from python_hll_spark.operators.membership import bloom_build, bloom_probe
+from python_hll_spark.operators.quantiles import sketch_quantiles
+from python_hll_spark.operators.topk import cms_topk, exact_topk
+from python_hll_spark.sketches.cms import CMSConfig
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def lineitem(spark):
+    return spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return spark.read.parquet(f"{SF_DIR}/events.parquet")
+
+
+def test_cms_topk_matches_exact_counts(spark, lineitem):
+    cfg = CMSConfig(depth=5, width=65536)
+    got = cms_topk(lineitem, ["l_returnflag"], "l_suppkey", k=5, cfg=cfg).collect()
+    exact = {(r["l_returnflag"], r["key"]): r["cnt"]
+             for r in exact_topk(lineitem, ["l_returnflag"], "l_suppkey", k=50).collect()}
+    n_per_group = {r["l_returnflag"]: r["n"] for r in
+                   lineitem.groupBy("l_returnflag").agg(F.count("*").alias("n")).collect()}
+    assert len(got) == 5 * len(n_per_group)
+    for r in got:
+        key = (r["l_returnflag"], r["key"])
+        n = n_per_group[r["l_returnflag"]]
+        if key in exact:
+            # CMS never undercounts; overcount bounded by eps*N
+            assert r["est_count"] >= exact[key]
+            assert r["est_count"] - exact[key] <= cfg.eps * n + 1
+
+
+def test_kll_quantiles_vs_exact(spark, events):
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    got = {r["event_type"]: r["quantiles"] for r in
+           sketch_quantiles(events, "value", qs, by=["event_type"], method="kll").collect()}
+    pdf = events.select("event_type", "value").toPandas()
+    for etype, sub in pdf.groupby("event_type"):
+        vals = np.sort(sub["value"].to_numpy())
+        for q, est in zip(qs, got[etype]):
+            true_rank = np.searchsorted(vals, est) / len(vals)
+            assert abs(true_rank - q) < 0.03, (etype, q, true_rank)
+
+
+def test_tdigest_quantiles_vs_exact(spark, lineitem):
+    qs = [0.1, 0.5, 0.9]
+    got = sketch_quantiles(lineitem, "l_extendedprice", qs, method="tdigest").collect()[0]
+    vals = np.sort(lineitem.select("l_extendedprice").toPandas()["l_extendedprice"].to_numpy())
+    for q, est in zip(qs, got["quantiles"]):
+        true_rank = np.searchsorted(vals, est) / len(vals)
+        assert abs(true_rank - q) < 0.02, (q, true_rank)
+
+
+def test_bloom_membership_no_false_negatives(spark, lineitem):
+    states = bloom_build(lineitem, "l_partkey", by=["l_returnflag"])
+    probes = lineitem.select("l_returnflag", "l_partkey").distinct()
+    res = bloom_probe(states, probes, "l_partkey", by=["l_returnflag"])
+    n_total = res.count()
+    n_found = res.where("might_contain").count()
+    assert n_found == n_total  # present keys always found
+
+    # absent keys: FP rate small
+    absent = spark.range(10_000_000, 10_005_000).select(
+        F.lit("A").alias("l_returnflag"), F.col("id").alias("l_partkey"))
+    fp = bloom_probe(states, absent, "l_partkey", by=["l_returnflag"])
+    rate = fp.where("might_contain").count() / 5000
+    assert rate < 0.02, rate
