@@ -1,0 +1,100 @@
+"""Text-analysis column functions for training-data pipelines.
+
+Everything here is pure ``pyspark.sql.functions`` (JVM-side, whole-stage
+codegen) — no Python UDFs in these paths, so they run at scan speed over
+100TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+WORD_RE = "[A-Za-z0-9]+"
+
+# Small, deterministic stopword lists for the n-gram language heuristic.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "for", "was"],
+    "de": ["der", "die", "und", "das", "ist", "von", "den", "mit", "nicht", "ein"],
+    "fr": ["le", "la", "les", "et", "des", "est", "que", "dans", "pour", "une"],
+    "es": ["el", "la", "los", "las", "que", "de", "en", "es", "por", "con"],
+}
+
+
+def word_count(text: Column) -> Column:
+    """Number of [A-Za-z0-9]+ word matches (BPE-ish token proxy)."""
+    return F.regexp_count(text, F.lit(WORD_RE))
+
+
+def whitespace_token_count(text: Column) -> Column:
+    """Whitespace tokenization count (robust to leading/trailing space)."""
+    trimmed = F.trim(text)
+    return F.when(F.length(trimmed) == 0, F.lit(0)).otherwise(
+        F.size(F.split(trimmed, r"\s+")))
+
+
+def alpha_ratio(text: Column) -> Column:
+    """Fraction of characters that are ASCII letters."""
+    letters = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        letters.cast("double") / F.length(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}-]", ""))
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        punct.cast("double") / F.length(text))
+
+
+def stopword_hits(text: Column, lang: str) -> Column:
+    """Count of stopword occurrences for one language's list."""
+    pattern = r"\b(" + "|".join(STOPWORDS[lang]) + r")\b"
+    return F.regexp_count(F.lower(text), F.lit(pattern))
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    wc = word_count(text)
+    return F.when(wc == 0, F.lit(0.0)).otherwise(
+        stopword_hits(text, lang).cast("double") / wc)
+
+
+def detect_language(text: Column) -> Column:
+    """Argmax over per-language stopword hit counts ('und' if all zero)."""
+    hits = [(lang, stopword_hits(text, lang)) for lang in sorted(STOPWORDS)]
+    best_count = F.greatest(*[h for _, h in hits])
+    expr = F.lit("und")
+    # reverse order so earlier (alphabetical) languages win ties
+    for lang, h in reversed(hits):
+        expr = F.when((best_count > 0) & (h == best_count), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def quality_score(text: Column) -> Column:
+    """Heuristic [0,1] quality: length band + alpha ratio + stopword signal.
+
+    Deterministic arithmetic only, so it can be mirrored exactly in SQL
+    oracles."""
+    length = F.length(text)
+    len_score = F.when(length < 200, length.cast("double") / 200.0).otherwise(
+        F.when(length > 20000, F.lit(0.5)).otherwise(F.lit(1.0)))
+    return F.round(
+        0.4 * len_score + 0.4 * alpha_ratio(text) +
+        0.2 * F.least(stopword_ratio(text) * 5.0, F.lit(1.0)), 6)
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """64-bit content fingerprint for exact dedup: xxhash64 of the
+    whitespace-normalized lowercased text (JVM-side)."""
+    normalized = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(normalized)
+
+
+def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return (df
+            .withColumn("n_words", word_count(t))
+            .withColumn("n_ws_tokens", whitespace_token_count(t))
+            .withColumn("alpha_ratio", F.round(alpha_ratio(t), 6))
+            .withColumn("quality", quality_score(t))
+            .withColumn("lang_pred", detect_language(t))
+            .withColumn("fingerprint", doc_fingerprint(t)))

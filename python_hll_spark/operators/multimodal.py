@@ -1,0 +1,89 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media payloads are opaque ``binary`` columns plus typed metadata; transforms
+run as Arrow-batched ``mapInPandas`` passes.  The actual codec step is
+STUBBED (this container ships no image/audio libraries): ``decode=`` accepts
+a real decoder callable in production, and the default
+``deterministic_fake_decode`` derives reproducible pseudo-pixels from the
+payload bytes so the Spark-side plumbing — schema, batching, partitioning,
+UDF signatures — is fully real and testable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_SCHEMA = ("media_id string, kind string, payload binary, "
+                "width int, height int, duration_ms int")
+
+
+def real_decode(payload: bytes) -> np.ndarray:
+    """Placeholder for a real codec (PIL/libav); not available in this
+    environment."""
+    raise NotImplementedError(
+        "media codecs are not installed in this container; pass a decoder "
+        "to the operator or use deterministic_fake_decode for plumbing tests")
+
+
+def deterministic_fake_decode(payload: bytes, shape=(8, 8, 3)) -> np.ndarray:
+    """Reproducible stand-in decoder: pseudo-pixels seeded by payload bytes."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 256, size=shape, dtype=np.uint8)
+
+
+def extract_image_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "media_id", decode=None,
+                           n_features: int = 16) -> DataFrame:
+    """(id, features array<float>): channel-histogram features per image.
+
+    The decode step is the only stubbed piece; batching/shape are real."""
+    decode = decode or deterministic_fake_decode
+
+    def extract(batches):
+        for pdf in batches:
+            feats = []
+            for payload in pdf[payload_col]:
+                img = decode(bytes(payload))
+                hist, _ = np.histogram(img, bins=n_features, range=(0, 256))
+                total = hist.sum()
+                feats.append((hist / total).astype(np.float64)
+                             if total else np.zeros(n_features))
+            yield pd.DataFrame({id_col: pdf[id_col], "features": feats})
+
+    id_type = dict(df.dtypes)[id_col]
+    return (df.select(id_col, payload_col)
+            .mapInPandas(extract, schema=f"`{id_col}` {id_type}, features array<double>"))
+
+
+def resize_images(df: DataFrame, target=(4, 4), payload_col: str = "payload",
+                  id_col: str = "media_id", decode=None) -> DataFrame:
+    """(id, pixels array<int>): nearest-neighbor resize after decode."""
+    decode = decode or deterministic_fake_decode
+
+    def resize(batches):
+        for pdf in batches:
+            out = []
+            for payload in pdf[payload_col]:
+                img = decode(bytes(payload))
+                h, w = img.shape[:2]
+                ys = (np.arange(target[0]) * h // target[0])
+                xs = (np.arange(target[1]) * w // target[1])
+                out.append(img[np.ix_(ys, xs)].ravel().astype(np.int32))
+            yield pd.DataFrame({id_col: pdf[id_col], "pixels": out})
+
+    id_type = dict(df.dtypes)[id_col]
+    return (df.select(id_col, payload_col)
+            .mapInPandas(resize, schema=f"`{id_col}` {id_type}, pixels array<int>"))
+
+
+def sample_frames(df: DataFrame, every_ms: int = 1000, payload_col: str = "payload",
+                  id_col: str = "media_id", duration_col: str = "duration_ms") -> DataFrame:
+    """(id, frame_ts array<int>): frame-sampling timestamps from metadata
+    (decode-free; actual frame extraction would plug in at the decode stub)."""
+    ts = F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)),
+                    F.lit(every_ms))
+    return df.select(id_col, ts.alias("frame_ts"))

@@ -1,0 +1,169 @@
+"""Tests for training-data pipeline operators: dedup, similarity, text
+analysis, multimodal plumbing — against exact oracles on testdata."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from python_hll_spark.functions.text import with_text_stats
+from python_hll_spark.operators.dedup import (
+    dedup_exact, jaccard_word_pairs, minhash_dedup_pairs, minhash_signatures,
+    simhash_near_pairs, with_shingle_hashes,
+)
+from python_hll_spark.operators.multimodal import (
+    extract_image_features, resize_images, sample_frames,
+)
+from python_hll_spark.operators.similarity import (
+    brute_force_topk, embedding_dedup_pairs, srp_topk, with_cosine,
+)
+
+SF_DIR = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def docs_with_dupes(spark, documents):
+    """documents plus injected exact and near duplicates."""
+    base = documents.limit(20)
+    exact = base.withColumn("doc_id", F.col("doc_id") + 100000)
+    near = (base.withColumn("doc_id", F.col("doc_id") + 200000)
+            .withColumn("text", F.concat(F.col("text"), F.lit(" extra token"))))
+    return documents.unionByName(exact).unionByName(near)
+
+
+def test_dedup_exact_collapses_exact_dupes(spark, documents, docs_with_dupes):
+    n_docs = documents.count()
+    survivors = dedup_exact(docs_with_dupes)
+    # exact copies collapse; near copies survive
+    assert survivors.count() == n_docs + 20
+    assert survivors.agg(F.sum("n_dupes")).collect()[0][0] == n_docs + 40
+    # representative is the min doc_id
+    assert survivors.where(F.col("doc_id") >= 100000).count() == 20
+
+
+def test_minhash_finds_near_dupes(spark, docs_with_dupes):
+    pairs = minhash_dedup_pairs(docs_with_dupes, num_hashes=64, bands=16,
+                                threshold=0.5)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    # each near-dup (id+200000) and exact-dup (id+100000) should pair with
+    # its original
+    base_ids = [r["doc_id"] for r in docs_with_dupes.where("doc_id < 20").collect()]
+    found_near = sum((i, i + 200000) in got for i in base_ids)
+    found_exact = sum((i, i + 100000) in got for i in base_ids)
+    assert found_exact >= len(base_ids) * 0.9
+    assert found_near >= len(base_ids) * 0.7
+
+
+def test_minhash_estimates_match_exact_jaccard(spark, docs_with_dupes):
+    """MinHash est_jaccard vs exact shingle Jaccard on the dup pairs."""
+    sigs = minhash_signatures(docs_with_dupes, num_hashes=128, n=3)
+    from python_hll_spark.operators.dedup import lsh_candidate_pairs
+    est = {(r["id_a"], r["id_b"]): r["est_jaccard"]
+           for r in lsh_candidate_pairs(sigs, bands=32).collect()}
+
+    sh = with_shingle_hashes(docs_with_dupes, n=3).toPandas()
+    sets = {r.doc_id: set(r.shingles) for r in sh.itertuples()}
+    for (a, b), e in est.items():
+        sa, sb = sets[a], sets[b]
+        exact = len(sa & sb) / len(sa | sb)
+        assert abs(e - exact) < 0.2, (a, b, e, exact)
+
+
+def test_simhash_near_pairs(spark, docs_with_dupes):
+    pairs = simhash_near_pairs(docs_with_dupes, max_hamming=3)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    base_ids = [r["doc_id"] for r in docs_with_dupes.where("doc_id < 20").collect()]
+    found_exact = sum((i, i + 100000) in got for i in base_ids)
+    assert found_exact == len(base_ids)  # identical text -> hamming 0
+
+
+def test_jaccard_word_pairs_oracle(spark, docs_with_dupes):
+    pairs = jaccard_word_pairs(docs_with_dupes.where("doc_id < 20 or doc_id >= 100000"),
+                               threshold=0.9)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    base_ids = [r["doc_id"] for r in docs_with_dupes.where("doc_id < 20").collect()]
+    for i in base_ids:
+        assert got.get((i, i + 100000)) == 1.0
+
+
+def test_brute_force_topk_self_is_nearest(spark, embeddings):
+    probes = (embeddings.limit(3)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    res = brute_force_topk(embeddings, probes, k=5)
+    rows = res.where("rank = 1").collect()
+    for r in rows:
+        assert r["vec_id"] == r["probe_id"]  # self-similarity = 1.0
+        assert r["cosine"] == pytest.approx(1.0, abs=1e-6)
+
+
+def test_srp_topk_recall_vs_brute_force(spark, embeddings):
+    probes = (embeddings.limit(5)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    exact = brute_force_topk(embeddings, probes, k=5).collect()
+    approx = srp_topk(embeddings, probes, k=5, n_bits=6).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    approx_sets = {}
+    for r in approx:
+        approx_sets.setdefault(r["probe_id"], set()).add(r["vec_id"])
+    # the testdata embeddings are near-orthogonal random vectors, so
+    # cosine "neighbors" carry almost no LSH-visible signal; guaranteed
+    # behavior is self-retrieval (cosine 1.0) plus noise-floor recall
+    for r in approx:
+        if r["rank"] == 1:
+            assert r["vec_id"] == r["probe_id"]
+    recalls = [len(exact_sets[p] & approx_sets.get(p, set())) / 5 for p in exact_sets]
+    assert np.mean(recalls) >= 0.2, recalls
+
+
+def test_embedding_dedup_finds_duplicated_vectors(spark, embeddings):
+    dup = (embeddings.limit(5)
+           .withColumn("vec_id", F.col("vec_id") + 10000))
+    aug = embeddings.unionByName(dup)
+    pairs = embedding_dedup_pairs(aug, threshold=0.999)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    want = {(r["vec_id"], r["vec_id"] + 10000) for r in embeddings.limit(5).collect()}
+    assert want <= got
+
+
+def test_text_stats_columns(spark, documents):
+    stats = with_text_stats(documents).limit(50).collect()
+    for r in stats:
+        assert r["n_words"] >= 0
+        assert 0.0 <= r["alpha_ratio"] <= 1.0
+        assert 0.0 <= r["quality"] <= 1.0
+        assert r["lang_pred"] in {"en", "de", "fr", "es", "und"}
+
+
+def test_multimodal_plumbing(spark):
+    import pandas as pd
+    rows = [(f"m{i}", "image", bytes([i] * 32), 8, 8, 5000) for i in range(10)]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, width int, height int, duration_ms int")
+
+    feats = extract_image_features(media).collect()
+    assert len(feats) == 10
+    for r in feats:
+        assert len(r["features"]) == 16
+        assert abs(sum(r["features"]) - 1.0) < 1e-9
+
+    # determinism: same payload -> same features
+    feats2 = {r["media_id"]: r["features"] for r in extract_image_features(media).collect()}
+    for r in feats:
+        assert feats2[r["media_id"]] == r["features"]
+
+    px = resize_images(media).collect()
+    assert all(len(r["pixels"]) == 4 * 4 * 3 for r in px)
+
+    fr = sample_frames(media, every_ms=1000).collect()
+    assert all(len(r["frame_ts"]) == 5 for r in fr)
