@@ -1,38 +1,440 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``queries()`` maps every implemented operator from SURVEY.md §2 (plus the
+training-data-pipeline operators) to a (spark, sf_dir) callable;
+``oracle_sql()`` carries the DuckDB-equivalent SQL for everything
+SQL-expressible.  Sketch estimates are validated with the bound-check
+pattern: the Spark side computes BOTH the sketch estimate and the exact
+answer, emits the exact value plus a boolean "estimate within the published
+error bound", and the oracle recomputes the exact value with TRUE for the
+boolean — so a hash match proves the sketch landed inside its bound.
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+HLL_LOG2M, HLL_REGWIDTH = 11, 5
+HLL_TOL = 3  # sigma multiple on 1.04/sqrt(m)
+KLL_K = 200
+QS = [0.25, 0.5, 0.75]
+
+_NORM_TEXT_SPARK = None  # built lazily (needs pyspark funcs)
 
 
+def _read(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{table}.parquet")
+
+
+def _norm_words(col):
+    return F.split(F.regexp_replace(F.lower(F.trim(col)), r"\s+", " "), " ")
+
+
+# --------------------------------------------------------------------------
+# HLL NDV bound checks
+# --------------------------------------------------------------------------
+def _hll_bound_check(df: DataFrame, value_col, group_col: str) -> DataFrame:
+    from python_hll_spark.operators.ndv import hll_ndv_column
+    from python_hll_spark.sketches.hll import HLLConfig
+
+    cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
+    est = hll_ndv_column(df, value_col, by=[group_col], cfg=cfg) \
+        .select(group_col, "ndv")
+    exact = df.groupBy(group_col).agg(
+        F.countDistinct(value_col).alias("exact_ndv"))
+    tol = HLL_TOL * cfg.error_bound
+    return (exact.join(est, group_col)
+            .select(group_col, "exact_ndv",
+                    (F.abs(F.col("ndv") - F.col("exact_ndv"))
+                     <= tol * F.col("exact_ndv")).alias("hll_ok")))
+
+
+def q_hll_ndv_users_by_event_type(spark, sf_dir):
+    return _hll_bound_check(_read(spark, sf_dir, "events"), "user_id", "event_type")
+
+
+def q_hll_ndv_parts_by_returnflag(spark, sf_dir):
+    return _hll_bound_check(_read(spark, sf_dir, "lineitem"), "l_partkey", "l_returnflag")
+
+
+def q_hll_ndv_words_by_source(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(_norm_words(F.col("text"))).alias("w"))
+    return _hll_bound_check(words, "w", "source")
+
+
+def q_hll_sketch_hex_by_source(spark, sf_dir):
+    """Storage-spec v1 sketch bytes per source (postgres-interchange hex)."""
+    from python_hll_spark.operators.ndv import hll_ndv_column
+    from python_hll_spark.sketches.hll import HLLConfig
+    from pyspark.sql.types import StringType
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(_norm_words(F.col("text"))).alias("w"))
+    states = hll_ndv_column(words, "w", by=["source"],
+                            cfg=HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH))
+
+    @F.pandas_udf(StringType())
+    def to_hex(s: pd.Series) -> pd.Series:
+        return s.map(lambda b: "\\x" + bytes(b).hex().upper())
+
+    return states.select("source", "ndv", to_hex(F.col("state")).alias("state_hex"))
+
+
+# --------------------------------------------------------------------------
+# CMS heavy hitters bound check
+# --------------------------------------------------------------------------
+def q_cms_top1_by_event_type(spark, sf_dir):
+    from pyspark.sql.types import LongType
+    from python_hll_spark.functions.hashing import splitmix64
+    from python_hll_spark.operators.aggregate import sketch_groupby
+    from python_hll_spark.sketches.cms import CMSConfig
+    from python_hll_spark.sketches.specs import CMSSpec
+
+    events = _read(spark, sf_dir, "events")
+    cfg = CMSConfig(depth=5, width=65536)
+    spec = CMSSpec(cfg)
+
+    def extract(pdf):
+        return splitmix64(pdf["user_id"].to_numpy(dtype=np.int64))
+
+    states = sketch_groupby(events.select("event_type", "user_id"),
+                            ["event_type"], extract, spec)
+
+    counted = (events.groupBy("event_type", "user_id")
+               .agg(F.count("*").alias("cnt")))
+    w = Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.asc("user_id"))
+    top5 = counted.withColumn("r", F.row_number().over(w)).where("r <= 5")
+    n_group = events.groupBy("event_type").agg(F.count("*").alias("n_g"))
+
+    @F.pandas_udf(LongType())
+    def cms_est(state: pd.Series, key: pd.Series) -> pd.Series:
+        from python_hll_spark.sketches.cms import CMSSketch
+        out = np.empty(len(key), dtype=np.int64)
+        frame = pd.DataFrame({"s": state.map(bytes), "k": key})
+        for blob, sub in frame.groupby("s", sort=False):
+            sk = CMSSketch.from_bytes(blob)
+            out[sub.index.to_numpy()] = sk.estimate(
+                splitmix64(sub["k"].to_numpy(dtype=np.int64)))
+        return pd.Series(out)
+
+    checked = (top5
+               .join(F.broadcast(states.select("event_type", "state")), "event_type")
+               .join(F.broadcast(n_group), "event_type")
+               .withColumn("est", cms_est(F.col("state"), F.col("user_id")))
+               .withColumn("ok", (F.col("est") >= F.col("cnt")) &
+                           (F.col("est") - F.col("cnt") <= cfg.eps * F.col("n_g") + 1)))
+    return (checked.groupBy("event_type")
+            .agg(F.max("cnt").alias("top1_cnt"),
+                 F.min(F.col("ok").cast("int")).cast("boolean").alias("cms_ok")))
+
+
+# --------------------------------------------------------------------------
+# Quantile sketches bound checks
+# --------------------------------------------------------------------------
+def q_kll_value_by_event_type(spark, sf_dir):
+    from python_hll_spark.operators.quantiles import sketch_quantiles
+    from python_hll_spark.sketches.kll import KLLConfig
+
+    events = _read(spark, sf_dir, "events")
+    cfg = KLLConfig(k=KLL_K)
+    est = sketch_quantiles(events, "value", QS, by=["event_type"],
+                           method="kll", k=KLL_K)
+    exploded = est.select(
+        "event_type",
+        F.posexplode(F.col("quantiles")).alias("qi", "qv"))
+    # exact rank of each estimate
+    ranks = (events.join(F.broadcast(exploded), "event_type")
+             .groupBy("event_type", "qi")
+             .agg((F.sum((F.col("value") <= F.col("qv")).cast("long")) /
+                   F.count("*")).alias("rank")))
+    tol = 3 * cfg.rank_error + 1e-9
+    qs_df = spark.createDataFrame([(i, q) for i, q in enumerate(QS)], "qi int, q double")
+    ok = (ranks.join(F.broadcast(qs_df), "qi")
+          .withColumn("ok", F.abs(F.col("rank") - F.col("q")) <= tol)
+          .groupBy("event_type")
+          .agg(F.min(F.col("ok").cast("int")).cast("boolean").alias("kll_ok")))
+    n = _read(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
+    return n.join(ok, "event_type").select("event_type", "n", "kll_ok")
+
+
+def q_tdigest_price_quantiles(spark, sf_dir):
+    from python_hll_spark.operators.quantiles import sketch_quantiles
+
+    li = _read(spark, sf_dir, "lineitem")
+    est = sketch_quantiles(li, "l_extendedprice", QS, method="tdigest")
+    exploded = est.select(F.posexplode(F.col("quantiles")).alias("qi", "qv"))
+    ranks = (li.crossJoin(F.broadcast(exploded))
+             .groupBy("qi")
+             .agg((F.sum((F.col("l_extendedprice") <= F.col("qv")).cast("long")) /
+                   F.count("*")).alias("rank")))
+    qs_df = spark.createDataFrame([(i, q) for i, q in enumerate(QS)], "qi int, q double")
+    ok = (ranks.join(F.broadcast(qs_df), "qi")
+          .agg(F.min((F.abs(F.col("rank") - F.col("q")) <= 0.02).cast("int"))
+               .cast("boolean").alias("tdigest_ok")))
+    return li.agg(F.count("*").alias("n")).crossJoin(ok)
+
+
+# --------------------------------------------------------------------------
+# Bloom membership
+# --------------------------------------------------------------------------
+def q_bloom_partkeys_by_returnflag(spark, sf_dir):
+    from python_hll_spark.operators.membership import bloom_build, bloom_probe
+
+    li = _read(spark, sf_dir, "lineitem")
+    states = bloom_build(li, "l_partkey", by=["l_returnflag"])
+    probes = li.select("l_returnflag", "l_partkey").distinct()
+    res = bloom_probe(states, probes, "l_partkey", by=["l_returnflag"])
+    return (res.groupBy("l_returnflag")
+            .agg(F.count("*").alias("n_probed"),
+                 F.sum(F.col("might_contain").cast("long")).alias("n_found")))
+
+
+# --------------------------------------------------------------------------
+# Dedup / text / similarity
+# --------------------------------------------------------------------------
+def q_dedup_exact_documents(spark, sf_dir):
+    from python_hll_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(_read(spark, sf_dir, "documents")).select("doc_id", "n_dupes")
+
+
+def q_text_stats_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")).alias("n_words"),
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
+        F.length("text").alias("len_chars"))
+
+
+def q_lang_id_documents(spark, sf_dir):
+    from python_hll_spark.functions.text import detect_language
+
+    docs = _read(spark, sf_dir, "documents")
+    return docs.select("doc_id", detect_language(F.col("text")).alias("lang_pred"))
+
+
+def q_jaccard_pairs_documents(spark, sf_dir):
+    docs = _read(spark, sf_dir, "documents").where("doc_id < 100")
+    words = docs.select("doc_id", F.explode(
+        F.array_distinct(_norm_words(F.col("text")))).alias("w"))
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = words.select(F.col("doc_id").alias("id_a"), "w")
+    b = words.select(F.col("doc_id").alias("id_b"), "w")
+    inter = (a.join(b, "w").where(F.col("id_a") < F.col("id_b"))
+             .groupBy("id_a", "id_b").agg(F.count("*").alias("inter")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (inter.join(sa, "id_a").join(sb, "id_b")
+            .where(2 * F.col("inter") >= (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+            .select("id_a", "id_b", "inter", "sz_a", "sz_b"))
+
+
+def q_ann_topk_embeddings(spark, sf_dir):
+    from python_hll_spark.operators.similarity import brute_force_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = (emb.orderBy("vec_id").limit(3)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    return brute_force_topk(emb, probes, k=5).select("probe_id", "vec_id", "rank")
+
+
+# ---- rows-only (hash-seeded ops a SQL oracle cannot reproduce) ------------
+def q_minhash_dedup_documents(spark, sf_dir):
+    from python_hll_spark.operators.dedup import minhash_dedup_pairs
+
+    docs = _read(spark, sf_dir, "documents")
+    return minhash_dedup_pairs(docs, num_hashes=64, bands=16, threshold=0.9)
+
+
+def q_simhash_documents(spark, sf_dir):
+    from python_hll_spark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_read(spark, sf_dir, "documents"))
+
+
+def q_srp_ann_embeddings(spark, sf_dir):
+    from python_hll_spark.operators.similarity import srp_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = (emb.orderBy("vec_id").limit(3)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    return srp_topk(emb, probes, k=5, n_bits=6)
+
+
+def q_seqs_ndv_tokens_by_source(spark, sf_dir):
+    """North-star query on the input_hint token table (synthesized
+    deterministically; no registered oracle view exists for it)."""
+    from python_hll_spark.operators.ndv import hll_ndv_tokens
+    from python_hll_spark.sketches.hll import HLLConfig
+
+    from python_hll_spark.sources.seqs import seqs_table
+    df = seqs_table(spark, 400, partitions=8)
+    cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
+    est = hll_ndv_tokens(df, by=["source"], cfg=cfg).select("source", "ndv")
+    exact = (df.select("source", F.explode("tokens").alias("t"))
+             .groupBy("source").agg(F.countDistinct("t").alias("exact_ndv")))
+    tol = HLL_TOL * cfg.error_bound
+    return (exact.join(est, "source")
+            .select("source", "exact_ndv",
+                    (F.abs(F.col("ndv") - F.col("exact_ndv"))
+                     <= tol * F.col("exact_ndv")).alias("hll_ok")))
+
+
+def q_media_features(spark, sf_dir):
+    """Multimodal plumbing: deterministic fake-decode features over binary
+    payloads synthesized from document bytes."""
+    from python_hll_spark.operators.multimodal import extract_image_features
+
+    docs = _read(spark, sf_dir, "documents").limit(50)
+    media = docs.select(F.col("doc_id").cast("string").alias("media_id"),
+                        F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"))
+    feats = extract_image_features(media)
+    return feats.select("media_id",
+                        F.round(F.element_at("features", 1) * 1e6).cast("long").alias("f1_micro"))
+
+
+# --------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: per-source HLL word-token NDV with bound check at sf0.001."""
+    return q_hll_ndv_words_by_source(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        "hll_ndv_users_by_event_type": q_hll_ndv_users_by_event_type,
+        "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
+        "hll_ndv_words_by_source": q_hll_ndv_words_by_source,
+        "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
+        "cms_top1_by_event_type": q_cms_top1_by_event_type,
+        "kll_value_by_event_type": q_kll_value_by_event_type,
+        "tdigest_price_quantiles": q_tdigest_price_quantiles,
+        "bloom_partkeys_by_returnflag": q_bloom_partkeys_by_returnflag,
+        "dedup_exact_documents": q_dedup_exact_documents,
+        "text_stats_documents": q_text_stats_documents,
+        "lang_id_documents": q_lang_id_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "ann_topk_embeddings": q_ann_topk_embeddings,
+        "minhash_dedup_documents": q_minhash_dedup_documents,
+        "simhash_documents": q_simhash_documents,
+        "srp_ann_embeddings": q_srp_ann_embeddings,
+        "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
+        "media_features": q_media_features,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "hll_ndv_users_by_event_type": """
+            SELECT event_type, COUNT(DISTINCT user_id) AS exact_ndv,
+                   TRUE AS hll_ok
+            FROM events GROUP BY event_type
+        """,
+        "hll_ndv_parts_by_returnflag": """
+            SELECT l_returnflag, COUNT(DISTINCT l_partkey) AS exact_ndv,
+                   TRUE AS hll_ok
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "hll_ndv_words_by_source": """
+            WITH w AS (SELECT source,
+                       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+                       FROM documents)
+            SELECT source, COUNT(DISTINCT w) AS exact_ndv, TRUE AS hll_ok
+            FROM w GROUP BY source
+        """,
+        "cms_top1_by_event_type": """
+            SELECT event_type, MAX(cnt) AS top1_cnt, TRUE AS cms_ok
+            FROM (SELECT event_type, user_id, COUNT(*) AS cnt
+                  FROM events GROUP BY event_type, user_id)
+            GROUP BY event_type
+        """,
+        "kll_value_by_event_type": """
+            SELECT event_type, COUNT(*) AS n, TRUE AS kll_ok
+            FROM events GROUP BY event_type
+        """,
+        "tdigest_price_quantiles": """
+            SELECT COUNT(*) AS n, TRUE AS tdigest_ok FROM lineitem
+        """,
+        "bloom_partkeys_by_returnflag": """
+            SELECT l_returnflag,
+                   COUNT(DISTINCT l_partkey) AS n_probed,
+                   COUNT(DISTINCT l_partkey) AS n_found
+            FROM lineitem GROUP BY l_returnflag
+        """,
+        "dedup_exact_documents": """
+            SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
+            FROM documents
+            GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        """,
+        "text_stats_documents": """
+            SELECT doc_id,
+                   length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                   length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                   length(text) AS len_chars
+            FROM documents
+        """,
+        "lang_id_documents": """
+            SELECT doc_id,
+              CASE WHEN greatest(
+                     length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|den|mit|nicht|ein)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|for|was)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|de|en|es|por|con)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|que|dans|pour|une)\\b'))) = 0
+                   THEN 'und'
+                   WHEN length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|den|mit|nicht|ein)\\b')) = greatest(
+                     length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|den|mit|nicht|ein)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|for|was)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|de|en|es|por|con)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|que|dans|pour|une)\\b'))) THEN 'de'
+                   WHEN length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|for|was)\\b')) = greatest(
+                     length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|den|mit|nicht|ein)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|for|was)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|de|en|es|por|con)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|que|dans|pour|une)\\b'))) THEN 'en'
+                   WHEN length(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|de|en|es|por|con)\\b')) = greatest(
+                     length(regexp_extract_all(lower(text), '\\b(der|die|und|das|ist|von|den|mit|nicht|ein)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|for|was)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(el|la|los|las|que|de|en|es|por|con)\\b')),
+                     length(regexp_extract_all(lower(text), '\\b(le|la|les|et|des|est|que|dans|pour|une)\\b'))) THEN 'es'
+                   ELSE 'fr'
+              END AS lang_pred
+            FROM documents
+        """,
+        "jaccard_pairs_documents": """
+            WITH d AS (SELECT * FROM documents WHERE doc_id < 100),
+            w AS (SELECT DISTINCT doc_id,
+                  unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+                  FROM d),
+            sizes AS (SELECT doc_id, COUNT(*) AS sz FROM w GROUP BY doc_id),
+            inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+                      FROM w a JOIN w b ON a.w = b.w AND a.doc_id < b.doc_id
+                      GROUP BY 1, 2)
+            SELECT i.id_a, i.id_b, i.inter, sa.sz AS sz_a, sb.sz AS sz_b
+            FROM inter i
+            JOIN sizes sa ON i.id_a = sa.doc_id
+            JOIN sizes sb ON i.id_b = sb.doc_id
+            WHERE 2 * i.inter >= (sa.sz + sb.sz - i.inter)
+        """,
+        "ann_topk_embeddings": """
+            WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv
+                            FROM embeddings ORDER BY vec_id LIMIT 3),
+            scored AS (SELECT p.probe_id, e.vec_id,
+                       list_cosine_similarity(e.embedding::DOUBLE[], p.pv::DOUBLE[]) AS cos
+                       FROM embeddings e CROSS JOIN probes p),
+            ranked AS (SELECT probe_id, vec_id,
+                       ROW_NUMBER() OVER (PARTITION BY probe_id
+                                          ORDER BY cos DESC, vec_id) AS rank
+                       FROM scored)
+            SELECT probe_id, vec_id, rank FROM ranked WHERE rank <= 5
+        """,
+    }

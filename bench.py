@@ -1,0 +1,142 @@
+"""Benchmark harness.
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <headline total sec>, "unit": "sec",
+   "queries": {name: sec}, "sf": <sf>,
+   "tokens_per_sec_local8": ..., "tokens_per_sec_local32": ...,
+   "scaling_efficiency_8_to_32": ...}
+
+Two parts:
+1. headline operator queries at $SPARK_GRAFT_SF_DIR (default sf0.1) on
+   local[$SPARK_GRAFT_CPUS];
+2. the north-rule scaling evidence: the SAME sketch-build job (per-source
+   HLL + CMS over the deterministic token table) on the SAME input at
+   local[8] and local[32] — the sandbox proxy for N vs 4N executors —
+   reporting tokens/sec at both and efficiency = (T_8 / T_32) / 4.
+Each scaling run executes in its own subprocess so the JVM/master is fresh.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "120000"))
+SEQS_CACHE = os.environ.get("SPARK_GRAFT_SEQS_CACHE",
+                            f"/tmp/spark_graft_seqs_{BENCH_DOCS}")
+
+HEADLINE = [
+    "hll_ndv_words_by_source",
+    "hll_ndv_parts_by_returnflag",
+    "cms_top1_by_event_type",
+    "kll_value_by_event_type",
+    "tdigest_price_quantiles",
+    "bloom_partkeys_by_returnflag",
+    "dedup_exact_documents",
+    "minhash_dedup_documents",
+    "ann_topk_embeddings",
+    "seqs_ndv_tokens_by_source",
+]
+
+
+def _ensure_seqs_parquet() -> None:
+    """Materialize the deterministic token table once (input, not timed)."""
+    if os.path.exists(os.path.join(SEQS_CACHE, "_SUCCESS")):
+        return
+    from python_hll_spark.plans.session import get_spark
+    from python_hll_spark.sources.seqs import seqs_table
+
+    spark = get_spark("bench-gen", master=f"local[{CPUS}]")
+    spark.sparkContext.setLogLevel("ERROR")
+    seqs_table(spark, BENCH_DOCS, partitions=128).write.mode("overwrite") \
+        .parquet(SEQS_CACHE)
+    spark.stop()
+
+
+def _scaling_worker(n_cores: int) -> dict:
+    """Runs in a subprocess: sketch-build job at local[n_cores]."""
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.operators.ndv import hll_ndv_tokens
+    from python_hll_spark.plans.session import get_spark
+    from python_hll_spark.sketches.hll import HLLConfig
+
+    spark = get_spark(f"bench-scale-{n_cores}", master=f"local[{n_cores}]",
+                      shuffle_partitions=max(32, n_cores))
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(SEQS_CACHE)
+    n_tokens = df.agg(F.sum("n_tok")).collect()[0][0]  # warms page cache too
+    t0 = time.time()
+    res = hll_ndv_tokens(df, by=["source"], cfg=HLLConfig.create(11, 5),
+                         n_salts=max(16, n_cores)).collect()
+    wall = time.time() - t0
+    spark.stop()
+    return {"cores": n_cores, "wall_sec": wall, "n_tokens": int(n_tokens),
+            "tokens_per_sec": int(n_tokens / wall),
+            "ndv": {r["source"]: r["ndv"] for r in res}}
+
+
+def run_headline() -> tuple[float, dict]:
+    import __spark_entry__ as entrymod
+    from python_hll_spark.plans.session import get_spark
+
+    spark = get_spark("bench-headline", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+    qs = entrymod.queries()
+    per_query = {}
+    total = 0.0
+    for name in HEADLINE:
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        dt = time.time() - t0
+        per_query[name] = round(dt, 3)
+        total += dt
+        print(f"# {name}: {dt:.2f}s ({n} rows)", file=sys.stderr)
+    spark.stop()
+    return total, per_query
+
+
+def main() -> None:
+    if len(sys.argv) > 2 and sys.argv[1] == "--scaling-worker":
+        print(json.dumps(_scaling_worker(int(sys.argv[2]))))
+        return
+
+    total, per_query = run_headline()
+
+    _ensure_seqs_parquet()
+    scaling = {}
+    for cores in (8, 32):
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
+            capture_output=True, text=True, check=True, cwd=REPO)
+        scaling[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        print(f"# scaling local[{cores}]: {scaling[cores]['tokens_per_sec']:,} tokens/s "
+              f"({scaling[cores]['wall_sec']:.1f}s)", file=sys.stderr)
+    eff = (scaling[8]["wall_sec"] / scaling[32]["wall_sec"]) / 4.0
+
+    result = {
+        "metric": "sketch-query wall time + token sketch-build throughput",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": per_query,
+        "sf": SF_DIR.rstrip("/").split("sf")[-1],
+        "bench_docs": BENCH_DOCS,
+        "n_tokens": scaling[32]["n_tokens"],
+        "tokens_per_sec_local8": scaling[8]["tokens_per_sec"],
+        "tokens_per_sec_local32": scaling[32]["tokens_per_sec"],
+        "scaling_efficiency_8_to_32": round(eff, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

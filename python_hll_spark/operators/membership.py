@@ -34,30 +34,43 @@ def bloom_build(df: DataFrame, key_col: str, by: list[str] | None = None,
     return sketch_global(pruned, extract, spec)
 
 
-def bloom_might_contain_udf():
-    @F.pandas_udf(BooleanType())
-    def probe(state: pd.Series, key: pd.Series) -> pd.Series:
-        from python_hll_spark.sketches.bloom import BloomSketch
-        out = np.empty(len(key), dtype=bool)
-        frame = pd.DataFrame({"s": state.map(bytes), "k": key})
-        for blob, sub in frame.groupby("s", sort=False):
-            sk = BloomSketch.from_bytes(blob)
-            out[sub.index.to_numpy()] = sk.might_contain(
-                _hash_keys(sub["k"].to_numpy(dtype=np.int64)))
-        return pd.Series(out)
-    return probe
-
-
 def bloom_probe(states: DataFrame, probes: DataFrame, key_col: str,
                 by: list[str] | None = None) -> DataFrame:
-    """Probe keys against (broadcast) per-group Bloom states.
+    """Probe keys against per-group Bloom states.
+
+    The states (MiB-sized blobs, one per group) are shipped ONCE per
+    executor via ``sc.broadcast`` — never as a join column, which would
+    duplicate the blob onto every probe row crossing Arrow.
 
     Returns probes columns + ``might_contain`` boolean."""
-    probe = bloom_might_contain_udf()
-    if by:
-        joined = probes.join(F.broadcast(states.select(*by, "state")), on=by)
-    else:
-        joined = probes.crossJoin(F.broadcast(states.select("state")))
-    return (joined
-            .withColumn("might_contain", probe(F.col("state"), F.col(key_col).cast("long")))
-            .drop("state"))
+    by = by or []
+    state_map = {tuple(r[c] for c in by): bytes(r["state"])
+                 for r in states.select(*by, "state").collect()}
+    sc = probes.sparkSession.sparkContext
+    bc = sc.broadcast(state_map)
+
+    out_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}" for f in probes.schema.fields]
+        + ["might_contain boolean"])
+
+    def probe_fn(batches):
+        from python_hll_spark.sketches.bloom import BloomSketch
+        sketches = {k: BloomSketch.from_bytes(v) for k, v in bc.value.items()}
+        for pdf in batches:
+            flags = np.zeros(len(pdf), dtype=bool)
+            if by:
+                groups = pdf.groupby(by, sort=False).indices.items()
+            else:
+                groups = [((), np.arange(len(pdf)))]
+            for gkey, idx in groups:
+                if not isinstance(gkey, tuple):
+                    gkey = (gkey,)
+                sk = sketches.get(gkey)
+                if sk is not None:
+                    keys = pdf[key_col].to_numpy(dtype=np.int64)[idx]
+                    flags[idx] = sk.might_contain(_hash_keys(keys))
+            out = pdf.copy()
+            out["might_contain"] = flags
+            yield out
+
+    return probes.mapInPandas(probe_fn, schema=out_schema)

@@ -1,0 +1,101 @@
+"""spark-submit job entrypoints.
+
+Cluster usage (north_rule: multi-executor, --py-files):
+
+    cd /root/repo && zip -r /tmp/python_hll_spark.zip python_hll_spark
+    spark-submit --py-files /tmp/python_hll_spark.zip \
+        --master <cluster> \
+        -m python_hll_spark.plans.jobs  # or path to this file
+        build-ndv --input s3://.../seqs --group-cols source \
+        --checkpoint s3://.../state --output s3://.../ndv
+
+Local smoke:
+
+    python -m python_hll_spark.plans.jobs build-ndv \
+        --input /tmp/seqs --group-cols source --output /tmp/ndv_out
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from python_hll_spark.plans.session import get_spark
+
+
+def _build_ndv(args) -> None:
+    from python_hll_spark.operators.ndv import _tokens_extractor, hll_ndv_tokens
+    from python_hll_spark.sketches.hll import HLLConfig
+    from python_hll_spark.sketches.specs import HLLSpec
+
+    spark = get_spark("build-ndv")
+    cfg = HLLConfig.create(args.log2m, args.regwidth)
+    group_cols = args.group_cols.split(",") if args.group_cols else None
+
+    if args.checkpoint:
+        import glob
+        import os
+        from python_hll_spark.sources.state import SketchCheckpoint
+
+        paths = sorted(glob.glob(os.path.join(args.input, "*.parquet")))
+        cp = SketchCheckpoint(args.checkpoint)
+        cp.run(spark, paths, group_cols or [], _tokens_extractor, HLLSpec(cfg),
+               n_chunks=args.n_chunks)
+        out = cp.finalize(spark, group_cols or [], HLLSpec(cfg))
+        from python_hll_spark.functions.sketch_funcs import hll_cardinality
+        from pyspark.sql import functions as F
+        out = out.withColumn("ndv", hll_cardinality(F.col("state")))
+        print(json.dumps({"chunks": cp.chunk_metrics()}), file=sys.stderr)
+    else:
+        df = spark.read.parquet(args.input)
+        out = hll_ndv_tokens(df, by=group_cols, cfg=cfg, n_salts=args.n_salts)
+
+    out.write.mode("overwrite").parquet(args.output)
+    for row in spark.read.parquet(args.output).drop("state").collect():
+        print(json.dumps(row.asDict(), default=str))
+    spark.stop()
+
+
+def _build_quantiles(args) -> None:
+    from python_hll_spark.operators.quantiles import sketch_quantiles
+
+    spark = get_spark("build-quantiles")
+    df = spark.read.parquet(args.input)
+    group_cols = args.group_cols.split(",") if args.group_cols else None
+    qs = [float(x) for x in args.quantiles.split(",")]
+    out = sketch_quantiles(df, args.value_col, qs, by=group_cols, method=args.method)
+    out.write.mode("overwrite").parquet(args.output)
+    spark.stop()
+
+
+def main(argv=None) -> None:
+    p = argparse.ArgumentParser(prog="python_hll_spark.plans.jobs")
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    ndv = sub.add_parser("build-ndv", help="HLL token NDV (optionally checkpointed)")
+    ndv.add_argument("--input", required=True)
+    ndv.add_argument("--output", required=True)
+    ndv.add_argument("--group-cols", default="")
+    ndv.add_argument("--checkpoint", default="")
+    ndv.add_argument("--log2m", type=int, default=11)
+    ndv.add_argument("--regwidth", type=int, default=5)
+    ndv.add_argument("--n-salts", type=int, default=16)
+    ndv.add_argument("--n-chunks", type=int, default=8)
+    ndv.set_defaults(fn=_build_ndv)
+
+    qt = sub.add_parser("build-quantiles", help="KLL/t-digest quantile profiles")
+    qt.add_argument("--input", required=True)
+    qt.add_argument("--output", required=True)
+    qt.add_argument("--value-col", required=True)
+    qt.add_argument("--group-cols", default="")
+    qt.add_argument("--quantiles", default="0.25,0.5,0.75")
+    qt.add_argument("--method", default="kll", choices=["kll", "tdigest"])
+    qt.set_defaults(fn=_build_quantiles)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()
