@@ -25,12 +25,20 @@ _SM64_MUL2 = _U64(0x94D049BB133111EB)
 
 
 def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
-    """SplitMix64 finalizer over a uint64/int64 array -> signed int64 hashes."""
+    """SplitMix64 finalizer over a uint64/int64 array -> signed int64 hashes.
+
+    In-place intermediate ops: one output allocation + one temp, so the
+    per-Arrow-batch hashing stays memory-bandwidth-friendly."""
     gamma = _U64((0x9E3779B97F4A7C15 * ((seed & 0xFFFFFFFFFFFFFFFF) + 1)) & 0xFFFFFFFFFFFFFFFF)
     z = x.astype(np.int64, copy=False).view(_U64) + gamma
-    z = (z ^ (z >> _U64(30))) * _SM64_MUL1
-    z = (z ^ (z >> _U64(27))) * _SM64_MUL2
-    z = z ^ (z >> _U64(31))
+    t = z >> _U64(30)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, _SM64_MUL1, out=z)
+    np.right_shift(z, _U64(27), out=t)
+    np.bitwise_xor(z, t, out=z)
+    np.multiply(z, _SM64_MUL2, out=z)
+    np.right_shift(z, _U64(31), out=t)
+    np.bitwise_xor(z, t, out=z)
     return z.view(np.int64)
 
 

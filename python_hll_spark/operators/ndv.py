@@ -18,10 +18,11 @@ from python_hll_spark.sketches.specs import HLLSpec
 
 
 def _tokens_extractor(pdf) -> np.ndarray:
-    arrs = [np.asarray(a, dtype=np.int64) for a in pdf["tokens"] if a is not None and len(a)]
-    if not arrs:
+    vals = pdf["tokens"].to_numpy()
+    if len(vals) == 0:
         return np.empty(0, dtype=np.int64)
-    return hash_tokens(np.concatenate(arrs))
+    flat = np.concatenate(vals)  # object-array of numpy arrays: single C pass
+    return hash_tokens(flat.astype(np.int64, copy=False))
 
 
 def _hashed_col_extractor(col: str):

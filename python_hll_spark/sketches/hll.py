@@ -195,15 +195,27 @@ def _rho_and_index(cfg: HLLConfig, values: np.ndarray) -> tuple[np.ndarray, np.n
 
     rho = 1 + #trailing-zeros(substream | pw_max_mask), 0 if substream == 0
     (a zero rho leaves the register untouched).  Index = low log2m bits.
+
+    Memory-lean: ~4 passes over the batch, in-place where aliasing allows
+    (this is the 100TB hot loop — every extra temp array is bandwidth).
     """
     h = values.astype(np.int64, copy=False).view(_U64)
-    sub = h >> _U64(cfg.log2m)  # logical shift == Java >>>
     j = (h & _U64(cfg.m - 1)).astype(np.int64)
-    w = sub | cfg.pw_max_mask_u64
-    lowbit = w & (~w + _U64(1))
-    # lowbit is an exact power of two <= 2^63: float64 log2 is exact.
-    rho = (np.log2(lowbit.astype(np.float64)) + 1.0).astype(np.uint8)
-    rho[sub == _U64(0)] = 0
+    w = h >> _U64(cfg.log2m)  # logical shift == Java >>>
+    zero = w == _U64(0)
+    np.bitwise_or(w, cfg.pw_max_mask_u64, out=w)
+    # isolate lowest set bit: w & (~w + 1) == w & -w
+    lowbit = np.bitwise_and(w, np.negative(w), out=w)
+    # lowbit is an exact power of two <= 2^63: exponent-field extraction
+    # (bits >> 52) - 1023 gives trailing-zero count exactly.
+    f = lowbit.astype(np.float64)
+    exp = f.view(_U64)
+    exp >>= _U64(52)
+    rho = exp.view(np.int64).astype(np.uint8)
+    # -1023 exponent bias, +1 for one-indexed rho; uint8 modular arithmetic
+    # keeps the result exact because rho lands in [1, 63]
+    rho += np.uint8(256 - 1022 % 256)
+    rho[zero] = 0
     return j, rho
 
 
@@ -214,17 +226,9 @@ def _scatter_max(regs: np.ndarray, j: np.ndarray, rho: np.ndarray) -> None:
         j, rho = j[nz], rho[nz]
     if len(j) == 0:
         return
-    # Sort-based scatter-max: pack (index, rho) so that, ascending-sorted,
-    # the last entry per index carries the max rho.  Beats ufunc.at on
-    # large batches and is fully vectorized.
-    comb = (j << 6) | rho.astype(np.int64)
-    comb.sort()
-    jj = comb >> 6
-    last = np.empty(len(jj), dtype=bool)
-    last[:-1] = jj[1:] != jj[:-1]
-    last[-1] = True
-    idx = jj[last]
-    regs[idx] = np.maximum(regs[idx], (comb[last] & 63).astype(np.uint8))
+    # numpy >= 1.25 gives ufunc.at an indexed fast path: this is a single
+    # fused scatter-max pass (~300M values/s), the exact max-monoid update.
+    np.maximum.at(regs, j, rho)
 
 
 class HLLSketch:
@@ -260,66 +264,82 @@ class HLLSketch:
 
         Reproduces the reference's per-element state machine exactly for the
         ordered sequence ``values`` (see module docstring for the equivalence
-        argument and the promotion-by-last-element corner case).
+        argument and the promotion-by-last-element corner case).  While the
+        sketch is still EXPLICIT the batch is consumed in bounded chunks so
+        the exact-dedup bookkeeping (np.unique) never touches more than
+        O(explicit_threshold) elements before promotion kicks in — after
+        which the rest of the batch takes the pure scatter-max path.
         """
         if len(values) == 0:
             return
         values = np.asarray(values, dtype=np.int64)
         cfg = self.cfg
+        pos, n = 0, len(values)
 
-        if self.type == HLLType.FULL:
-            j, rho = _rho_and_index(cfg, values)
-            _scatter_max(self.regs, j, rho)
-            return
-
-        if self.type == HLLType.SPARSE:
-            j, rho = _rho_and_index(cfg, values)
-            _scatter_max(self.regs, j, rho)
-            if np.count_nonzero(self.regs) > cfg.sparse_threshold:
-                self.type = HLLType.FULL
-            return
-
-        # EMPTY or EXPLICIT
-        if cfg.explicit_threshold > 0:
-            current = self.explicit if self.type == HLLType.EXPLICIT else np.empty(0, np.int64)
-            uniq, first_idx = np.unique(values, return_index=True)
-            is_new = ~np.isin(uniq, current)
-            n_total = len(current) + int(is_new.sum())
-            if n_total <= cfg.explicit_threshold:
-                self.explicit = np.union1d(current, uniq)
-                self.type = HLLType.EXPLICIT
+        while pos < n:
+            if self.type == HLLType.FULL:
+                j, rho = _rho_and_index(cfg, values[pos:])
+                _scatter_max(self.regs, j, rho)
                 return
-            # Promotion fires at the k-th new distinct value.
-            new_first_positions = np.sort(first_idx[is_new])
-            k = cfg.explicit_threshold - len(current) + 1
-            trigger_is_last = int(new_first_positions[k - 1]) == len(values) - 1
-            all_values = np.union1d(current, uniq)
-            self.explicit = None
-            self.regs = np.zeros(cfg.m, dtype=np.uint8)
-            j, rho = _rho_and_index(cfg, all_values)
-            _scatter_max(self.regs, j, rho)
-            if not cfg.sparse_on:
-                self.type = HLLType.FULL
-            elif trigger_is_last:
-                # the replay after promotion is not re-checked until the
-                # next add (reference hll.py:247-261)
-                self.type = HLLType.SPARSE
-            else:
-                nnz = np.count_nonzero(self.regs)
-                self.type = HLLType.FULL if nnz > cfg.sparse_threshold else HLLType.SPARSE
-            return
 
-        # explicit representation skipped entirely: EMPTY goes straight to
-        # SPARSE (or FULL) on first add, even when rho == 0 for every value
-        self.regs = np.zeros(cfg.m, dtype=np.uint8) if self.regs is None else self.regs
-        j, rho = _rho_and_index(cfg, values)
+            if self.type == HLLType.SPARSE:
+                j, rho = _rho_and_index(cfg, values[pos:])
+                _scatter_max(self.regs, j, rho)
+                if np.count_nonzero(self.regs) > cfg.sparse_threshold:
+                    self.type = HLLType.FULL
+                return
+
+            # EMPTY or EXPLICIT
+            if cfg.explicit_threshold == 0:
+                # explicit representation skipped entirely: EMPTY promotes to
+                # SPARSE (or FULL) on first add, even when every rho == 0
+                self.regs = np.zeros(cfg.m, dtype=np.uint8)
+                self.type = HLLType.SPARSE if cfg.sparse_on else HLLType.FULL
+                if not cfg.sparse_on:
+                    continue
+                j, rho = _rho_and_index(cfg, values[pos:])
+                _scatter_max(self.regs, j, rho)
+                if np.count_nonzero(self.regs) > cfg.sparse_threshold:
+                    self.type = HLLType.FULL
+                return
+
+            chunk_len = min(n - pos, max(1024, 2 * (cfg.explicit_threshold + 1)))
+            self._add_explicit_chunk(values[pos:pos + chunk_len],
+                                     chunk_is_batch_tail=(pos + chunk_len == n))
+            pos += chunk_len
+
+    def _add_explicit_chunk(self, values: np.ndarray, chunk_is_batch_tail: bool) -> None:
+        """Exact EMPTY/EXPLICIT insertion of one bounded chunk, with the
+        reference's promotion semantics (including the unchecked replay when
+        the trigger is the final add of the whole sequence)."""
+        cfg = self.cfg
+        current = self.explicit if self.type == HLLType.EXPLICIT else np.empty(0, np.int64)
+        uniq, first_idx = np.unique(values, return_index=True)
+        is_new = ~np.isin(uniq, current)
+        n_total = len(current) + int(is_new.sum())
+        if n_total <= cfg.explicit_threshold:
+            self.explicit = np.union1d(current, uniq)
+            self.type = HLLType.EXPLICIT
+            return
+        # Promotion fires at the k-th new distinct value.
+        new_first_positions = np.sort(first_idx[is_new])
+        k = cfg.explicit_threshold - len(current) + 1
+        trigger_is_last = (chunk_is_batch_tail
+                           and int(new_first_positions[k - 1]) == len(values) - 1)
+        all_values = np.union1d(current, uniq)
+        self.explicit = None
+        self.regs = np.zeros(cfg.m, dtype=np.uint8)
+        j, rho = _rho_and_index(cfg, all_values)
         _scatter_max(self.regs, j, rho)
         if not cfg.sparse_on:
             self.type = HLLType.FULL
-        else:
+        elif trigger_is_last:
+            # the replay after promotion is not re-checked until the
+            # next add (reference hll.py:247-261)
             self.type = HLLType.SPARSE
-            if np.count_nonzero(self.regs) > cfg.sparse_threshold:
-                self.type = HLLType.FULL
+        else:
+            nnz = np.count_nonzero(self.regs)
+            self.type = HLLType.FULL if nnz > cfg.sparse_threshold else HLLType.SPARSE
 
     # -- read --------------------------------------------------------------
     def _probabilistic_cardinality(self) -> float:
