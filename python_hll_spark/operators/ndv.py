@@ -35,16 +35,24 @@ def hll_ndv_tokens(df: DataFrame, by: list[str] | None = None,
                    cfg: HLLConfig | None = None, n_salts: int = 16) -> DataFrame:
     """Approx NDV of exploded ``tokens`` (optionally per group).
 
-    Returns (by..., ndv bigint, state binary)."""
+    Uses the Arrow-native partial builder (zero-copy ListArray flatten) for
+    <=1 group column — the 100TB hot path; falls back to the pandas builder
+    for composite keys.  Returns (by..., ndv bigint, state binary)."""
     from python_hll_spark.functions.sketch_funcs import hll_cardinality
+    from python_hll_spark.operators.aggregate import merge_sketches, token_partials_arrow
 
     spec = HLLSpec(cfg or HLLConfig.create(11, 5))
-    cols = (by or []) + ["tokens"]
-    pruned = df.select(*cols)
-    if by:
-        states = sketch_groupby(pruned, by, _tokens_extractor, spec, n_salts=n_salts)
+    by = by or []
+    if len(by) <= 1:
+        partials = token_partials_arrow(df, by, "tokens", spec, n_salts=n_salts)
+        if by:
+            states = merge_sketches(partials, by, spec)
+        else:
+            states = merge_sketches(partials.withColumn("__g", F.lit(0)),
+                                    ["__g"], spec).drop("__g")
     else:
-        states = sketch_global(pruned, _tokens_extractor, spec, n_salts=n_salts)
+        states = sketch_groupby(df.select(*by, "tokens"), by, _tokens_extractor,
+                                spec, n_salts=n_salts)
     return states.withColumn("ndv", hll_cardinality(F.col("state")))
 
 

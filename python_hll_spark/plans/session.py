@@ -11,6 +11,10 @@ import os
 from pyspark.sql import SparkSession
 
 DEFAULT_CONF = {
+    # local[N] runs all tasks in the driver JVM: size the heap for N
+    # concurrent parquet/Arrow column batches (overridden by spark-submit
+    # on a real cluster).
+    "spark.driver.memory": "12g",
     # Arrow is the JVM<->Python boundary for every sketch UDF: always on.
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Token rows are wide (array<int32> ~200 elems); 8k rows/batch keeps

@@ -41,41 +41,57 @@ class BloomConfig:
 
 
 class BloomSketch:
-    __slots__ = ("cfg", "bits", "n_added")
+    """Bit array kept UNPACKED (one byte per bit) in memory: plain fancy
+    assignment is several times faster than read-modify-write bit ops in
+    the build hot loop.  Packing happens only at the serialization boundary
+    (same memory-vs-throughput trade the HLL kernel makes), so shuffled
+    partial states stay n_bits/8 wide."""
+
+    __slots__ = ("cfg", "unpacked", "n_added")
 
     def __init__(self, cfg: BloomConfig):
         self.cfg = cfg
-        self.bits = np.zeros(cfg.n_bits >> 3, dtype=np.uint8)
+        self.unpacked = np.zeros(cfg.n_bits, dtype=np.uint8)
         self.n_added = 0
 
-    def _bit_positions(self, hashed: np.ndarray) -> np.ndarray:
+    def _iter_positions(self, hashed: np.ndarray):
         h1 = splitmix64(hashed, seed=self.cfg.seed).view(np.uint64)
         h2 = splitmix64(hashed, seed=self.cfg.seed + 1).view(np.uint64) | np.uint64(1)
-        ks = np.arange(self.cfg.num_hashes, dtype=np.uint64)[:, None]
         mask = np.uint64(self.cfg.n_bits - 1)
-        return ((h1[None, :] + ks * h2[None, :]) & mask).astype(np.int64).ravel()
+        cur = h1.copy()
+        for k in range(self.cfg.num_hashes):
+            if k:
+                cur += h2
+            yield (cur & mask).astype(np.int64, copy=False)
 
     def update(self, hashed: np.ndarray) -> None:
         if len(hashed) == 0:
             return
-        pos = self._bit_positions(np.asarray(hashed, dtype=np.int64))
-        np.bitwise_or.at(self.bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        hashed = np.asarray(hashed, dtype=np.int64)
+        for pos in self._iter_positions(hashed):
+            self.unpacked[pos] = 1
         self.n_added += len(hashed)
 
     def might_contain(self, hashed: np.ndarray) -> np.ndarray:
         if len(hashed) == 0:
             return np.empty(0, dtype=bool)
-        n = len(hashed)
-        pos = self._bit_positions(np.asarray(hashed, dtype=np.int64)).reshape(
-            self.cfg.num_hashes, n)
-        hit = (self.bits[pos >> 3] >> (pos & 7).astype(np.uint8)) & 1
-        return hit.all(axis=0).astype(bool)
+        hashed = np.asarray(hashed, dtype=np.int64)
+        hit = None
+        for pos in self._iter_positions(hashed):
+            row = self.unpacked[pos]
+            hit = row if hit is None else (hit & row)
+        return hit.astype(bool)
 
     def merge(self, other: "BloomSketch") -> None:
         if other.cfg != self.cfg:
             raise ValueError("Bloom merge with mismatched config")
-        np.bitwise_or(self.bits, other.bits, out=self.bits)
+        np.bitwise_or(self.unpacked, other.unpacked, out=self.unpacked)
         self.n_added += other.n_added
+
+    @property
+    def bits(self) -> np.ndarray:
+        """Packed little-bit-order view (bit k of byte j = position j*8+k)."""
+        return np.packbits(self.unpacked, bitorder="little")
 
     def to_bytes(self) -> bytes:
         head = _MAGIC + struct.pack("<iiqq", self.cfg.log2_bits, self.cfg.num_hashes,
@@ -87,6 +103,7 @@ class BloomSketch:
         assert data[:4] == _MAGIC, "not a BLM1 blob"
         log2_bits, k, seed, n_added = struct.unpack("<iiqq", data[4:28])
         sk = cls(BloomConfig(log2_bits, k, seed))
-        sk.bits = np.frombuffer(data[28:], dtype=np.uint8).copy()
+        sk.unpacked = np.unpackbits(np.frombuffer(data[28:], dtype=np.uint8),
+                                    bitorder="little")
         sk.n_added = n_added
         return sk

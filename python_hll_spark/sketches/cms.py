@@ -35,10 +35,16 @@ class CMSConfig:
     def delta(self) -> float:
         return math.exp(-self.depth)
 
+    @property
+    def width_is_pow2(self) -> bool:
+        return self.width & (self.width - 1) == 0
+
     @staticmethod
     def from_error(eps: float, delta: float, seed: int = 0) -> "CMSConfig":
+        width = int(math.ceil(math.e / eps))
+        width = 1 << max(1, (width - 1).bit_length())  # round up to pow2
         return CMSConfig(depth=int(math.ceil(math.log(1.0 / delta))),
-                         width=int(math.ceil(math.e / eps)), seed=seed)
+                         width=width, seed=seed)
 
 
 class CMSSketch:
@@ -51,35 +57,52 @@ class CMSSketch:
         self.counts = np.zeros((cfg.depth, cfg.width), dtype=np.int64)
         self.total = 0
 
-    def _row_indices(self, hashed: np.ndarray) -> np.ndarray:
-        """(depth, n) column indices via double hashing."""
+    def _iter_row_indices(self, hashed: np.ndarray):
+        """Yield per-row column indices via double hashing, one row at a
+        time with in-place arithmetic (pow2 width -> mask, no division)."""
         h1 = splitmix64(hashed, seed=self.cfg.seed).view(np.uint64)
         h2 = splitmix64(hashed, seed=self.cfg.seed + 1).view(np.uint64) | np.uint64(1)
-        rows = np.arange(self.cfg.depth, dtype=np.uint64)[:, None]
-        return ((h1[None, :] + rows * h2[None, :]) % np.uint64(self.cfg.width)).astype(np.int64)
+        cur = h1.copy()
+        pow2 = self.cfg.width_is_pow2
+        mask = np.uint64(self.cfg.width - 1)
+        width = np.uint64(self.cfg.width)
+        for d in range(self.cfg.depth):
+            if d:
+                cur += h2
+            idx = (cur & mask) if pow2 else (cur % width)
+            yield d, idx.astype(np.int64, copy=False)
 
     def update(self, hashed: np.ndarray, weights: np.ndarray | None = None) -> None:
         if len(hashed) == 0:
             return
-        idx = self._row_indices(np.asarray(hashed, dtype=np.int64))
+        hashed = np.asarray(hashed, dtype=np.int64)
+        small = len(hashed) * 4 < self.cfg.width
         if weights is None:
             self.total += len(hashed)
-            for d in range(self.cfg.depth):
-                self.counts[d] += np.bincount(idx[d], minlength=self.cfg.width)
+            for d, idx in self._iter_row_indices(hashed):
+                if small:
+                    # chunked batches: indexed scatter-add beats allocating
+                    # a width-sized bincount buffer per row
+                    np.add.at(self.counts[d], idx, 1)
+                else:
+                    self.counts[d] += np.bincount(idx, minlength=self.cfg.width)
         else:
             w = np.asarray(weights, dtype=np.int64)
             self.total += int(w.sum())
-            for d in range(self.cfg.depth):
-                self.counts[d] += np.bincount(idx[d], weights=w,
+            for d, idx in self._iter_row_indices(hashed):
+                self.counts[d] += np.bincount(idx, weights=w,
                                               minlength=self.cfg.width).astype(np.int64)
 
     def estimate(self, hashed: np.ndarray) -> np.ndarray:
         """Point-frequency estimates (vectorized over queries)."""
         if len(hashed) == 0:
             return np.empty(0, dtype=np.int64)
-        idx = self._row_indices(np.asarray(hashed, dtype=np.int64))
-        ests = self.counts[np.arange(self.cfg.depth)[:, None], idx]
-        return ests.min(axis=0)
+        hashed = np.asarray(hashed, dtype=np.int64)
+        out = None
+        for d, idx in self._iter_row_indices(hashed):
+            row = self.counts[d][idx]
+            out = row if out is None else np.minimum(out, row)
+        return out
 
     def merge(self, other: "CMSSketch") -> None:
         if other.cfg != self.cfg:
