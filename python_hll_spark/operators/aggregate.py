@@ -117,9 +117,9 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
     out_schema = _partial_schema(df.select(*group_cols, token_col), group_cols)
     pruned = df.select(*group_cols, token_col)
 
-    CHUNK = 32768  # int64 temps stay ~256KB: the whole hash+scatter pipeline
-    #                runs L2-resident, which is what lets 32 workers scale
-    #                instead of queueing on DRAM bandwidth
+    CHUNK = 131072  # ~1MB int64 temps: L2/L3-resident hash+scatter pipeline
+    #                 (measured optimum; 32 workers then scale on cores
+    #                 instead of queueing on DRAM bandwidth)
 
     def build(batches):
         pid = TaskContext.get().partitionId()
@@ -147,12 +147,21 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
                         states[key] = spec.new()
                         counts[key] = [0, 0]
                     counts[key][0] += int((codes == g).sum())
+                n_groups = len(dictionary)
                 for start in range(0, len(flat), CHUNK):
                     sl = slice(start, start + CHUNK)
                     hashed = splitmix64(flat[sl].astype(np.int64), seed=hash_seed)
                     vg = value_groups[sl]
+                    # counting-sort separation: one stable argsort pass,
+                    # then each group's values are a contiguous view
+                    order = np.argsort(vg, kind="stable")
+                    hashed = hashed[order]
+                    bounds = np.zeros(n_groups + 1, dtype=np.int64)
+                    np.cumsum(np.bincount(vg, minlength=n_groups), out=bounds[1:])
                     for g, gval in enumerate(dictionary):
-                        vals = hashed[vg == g]
+                        vals = hashed[bounds[g]:bounds[g + 1]]
+                        if len(vals) == 0:
+                            continue
                         key = (gval,)
                         spec.update(states[key], vals)
                         counts[key][1] += len(vals)

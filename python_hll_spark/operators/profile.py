@@ -50,7 +50,7 @@ def token_profile(df: DataFrame, by: str = "source", token_col: str = "tokens",
     out_schema = (f"`{by}` {dict(df.dtypes)[by]}, sketch string, salt int, "
                   "state binary, n_rows bigint, n_values bigint, partition_id int")
 
-    CHUNK = 32768  # keep int64 temps L2-resident (see aggregate.py)
+    CHUNK = 131072  # keep int64 temps cache-resident (see aggregate.py)
 
     def build(batches):
         pid = TaskContext.get().partitionId()
@@ -84,13 +84,19 @@ def token_profile(df: DataFrame, by: str = "source", token_col: str = "tokens",
                     if name.endswith("n_tok"):
                         st.update(n_toks[row_sel].astype(np.float64))
                 counts[gval][0] += int(row_sel.sum())
-            # token sketches update in cache-resident chunks
+            # token sketches update in cache-resident chunks; counting-sort
+            # separation gives each group a contiguous zero-copy slice
+            n_groups = len(dictionary)
             for start in range(0, len(flat), CHUNK):
                 sl = slice(start, start + CHUNK)
                 hashed = splitmix64(flat[sl].astype(np.int64), seed=hash_seed)
                 vg = value_groups[sl]
+                order = np.argsort(vg, kind="stable")
+                hashed = hashed[order]
+                bounds = np.zeros(n_groups + 1, dtype=np.int64)
+                np.cumsum(np.bincount(vg, minlength=n_groups), out=bounds[1:])
                 for g, gval in enumerate(dictionary):
-                    vals = hashed[vg == g]
+                    vals = hashed[bounds[g]:bounds[g + 1]]
                     if len(vals) == 0:
                         continue
                     for name, st in states[gval].items():
