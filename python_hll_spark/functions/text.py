@@ -89,6 +89,72 @@ def doc_fingerprint(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
+                           id_col: str = "doc_id", k: int = 8,
+                           window: int = 16) -> DataFrame:
+    """(id, fingerprints array<bigint>): winnowed rolling-hash fingerprints.
+
+    Standard winnowing (Schleimer/Wilkerson/Aiken): hash every k-gram of the
+    normalized text with a polynomial rolling hash, then keep the minimum
+    hash of each sliding window of ``window`` k-grams (dedup'd).  Robust
+    doc fingerprint for near-dup / containment detection; fully vectorized
+    per Arrow batch (the rolling hash is one cumulative numpy pass)."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as FF
+
+    B = np.uint64(1000003)
+    norm = FF.regexp_replace(FF.lower(FF.trim(FF.col(text_col))), r"\s+", " ")
+    pruned = df.select(FF.col(id_col), norm.alias("__t"))
+
+    bk_int = pow(1000003, k, 1 << 64)  # B^k mod 2^64
+
+    def fp_one(text: str) -> np.ndarray:
+        data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        n = len(data) - k + 1
+        if n <= 0:
+            return np.empty(0, dtype=np.int64)
+        # polynomial rolling hash of every k-gram in one vector recurrence:
+        # h[i+1] = (h[i] - data[i]*B^(k-1)) * B + data[i+k]
+        d = data.astype(np.uint64)
+        powers = np.array([pow(1000003, k - 1 - j, 1 << 64) for j in range(k)],
+                          dtype=np.uint64)
+        h = np.empty(n, dtype=np.uint64)
+        # windowed dot product via cumulative trick: compute first directly,
+        # then vectorized recurrence via prefix transform
+        h[0] = (d[:k] * powers).sum(dtype=np.uint64)
+        if n > 1:
+            # recurrence h[i] = h[i-1]*B - d[i-1]*B^k + d[i+k-1] (mod 2^64)
+            # becomes a prefix sum after dividing out B^i: with
+            # g[i] = h[i]*B^(-i), g[i] = g[0] + cumsum((d[i+k-1] -
+            # d[i-1]*B^k) * B^(-i)).  B is odd so B^(-1) exists mod 2^64,
+            # and uint64 wraparound IS mod-2^64 arithmetic.
+            Binv = np.uint64(pow(int(B), -1, 1 << 64))
+            binv_pow = np.cumprod(np.full(n - 1, Binv, dtype=np.uint64))
+            term = (d[k:] - d[:n - 1] * np.uint64(bk_int)) * binv_pow
+            acc = np.cumsum(term, dtype=np.uint64) + h[0]
+            # B^i via cumulative product
+            b_pow = np.cumprod(np.full(n - 1, B, dtype=np.uint64))
+            h[1:] = acc * b_pow
+        # winnow: min per sliding window of `window` hashes
+        if n <= window:
+            sel = np.array([h.argmin()])
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+            mins = sliding_window_view(h, window).argmin(axis=1)
+            sel = np.unique(mins + np.arange(len(mins)))
+        return np.unique(h[sel]).view(np.int64)
+
+    def compute(batches):
+        for pdf in batches:
+            fps = [fp_one(t) for t in pdf["__t"]]
+            yield pd.DataFrame({id_col: pdf[id_col], "fingerprints": fps})
+
+    id_type = dict(df.dtypes)[id_col]
+    return pruned.mapInPandas(compute,
+                              schema=f"`{id_col}` {id_type}, fingerprints array<bigint>")
+
+
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return (df

@@ -562,3 +562,15 @@ class HLLSketch:
         if s.startswith("\\x"):
             s = s[2:]
         return cls.from_bytes(bytes.fromhex(s))
+
+
+def intersection_estimate(a: HLLSketch, b: HLLSketch) -> float:
+    """|A ∩ B| by inclusion-exclusion: |A| + |B| - |A ∪ B|.
+
+    The reference deliberately ships no intersection (callers compose it
+    from union; see its operator inventory) — this is that composition.
+    Error grows with the Jaccard distance; clamped at 0."""
+    u = a.copy()
+    u.union(b)
+    est = a.cardinality_float() + b.cardinality_float() - u.cardinality_float()
+    return max(0.0, est)
