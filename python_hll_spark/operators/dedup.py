@@ -52,16 +52,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
 
     def compute(batches):
         for pdf in batches:
-            sigs = []
-            for arr in pdf["shingles"]:
-                h = np.asarray(arr, dtype=np.int64)
-                if len(h) == 0:
-                    sigs.append(np.full(num_hashes, np.iinfo(np.int64).max))
-                    continue
-                mins = np.empty(num_hashes, dtype=np.int64)
-                for k in range(num_hashes):
-                    mins[k] = splitmix64(h, seed=k).view(np.uint64).min().astype(np.int64)
-                sigs.append(mins)
+            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["shingles"]]
+            lengths = np.array([len(a) for a in arrs], dtype=np.int64)
+            nonempty = lengths > 0
+            flat = (np.concatenate([a for a in arrs if len(a)])
+                    if nonempty.any() else np.empty(0, dtype=np.int64))
+            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
+            np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
+            n_docs = len(pdf)
+            sig_mat = np.full((n_docs, num_hashes), np.iinfo(np.int64).max,
+                              dtype=np.int64)
+            # vectorized across docs: one permutation hash pass over the
+            # concatenated shingles, then segment-minima via reduceat
+            for k in range(num_hashes):
+                hk = splitmix64(flat, seed=k).view(np.uint64)
+                if len(flat):
+                    mins = np.minimum.reduceat(hk, offsets)
+                    sig_mat[nonempty, k] = mins.astype(np.int64)
+            sigs = list(sig_mat)
             yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
 
     id_type = dict(df.dtypes)[id_col]
@@ -77,17 +85,21 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
 
     def band_rows(batches):
         for pdf in batches:
-            ids, band_ids, keys, sigs = [], [], [], []
-            for i, sig in enumerate(pdf["sig"]):
-                s = np.asarray(sig, dtype=np.int64)
-                r = len(s) // bands
-                for b in range(bands):
-                    chunk = s[b * r:(b + 1) * r]
-                    key = int(splitmix64(chunk, seed=b).sum())  # order-stable
-                    ids.append(pdf[id_col].iloc[i])
-                    band_ids.append(b)
-                    keys.append(key)
-            yield pd.DataFrame({id_col: ids, "band": band_ids, "band_key": keys})
+            if len(pdf) == 0:
+                continue
+            sig_mat = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
+            n, K = sig_mat.shape
+            r = K // bands
+            keys = np.empty((n, bands), dtype=np.int64)
+            for b in range(bands):
+                chunk = sig_mat[:, b * r:(b + 1) * r]
+                hashed = splitmix64(chunk.ravel(), seed=b).reshape(n, r)
+                keys[:, b] = hashed.view(np.uint64).sum(axis=1).view(np.int64)
+            yield pd.DataFrame({
+                id_col: np.repeat(pdf[id_col].to_numpy(), bands),
+                "band": np.tile(np.arange(bands, dtype=np.int32), n),
+                "band_key": keys.ravel(),
+            })
 
     id_type = dict(sig_df.dtypes)[id_col]
     banded = sig_df.mapInPandas(
@@ -113,7 +125,10 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                         num_hashes: int = 128, bands: int = 32,
                         threshold: float = 0.8, id_col: str = "doc_id") -> DataFrame:
-    sigs = minhash_signatures(df, text_col, n, num_hashes, id_col)
+    # signatures are read 3x downstream (banding + both join sides) and are
+    # tiny (n_docs x num_hashes int64): persist instead of recomputing the
+    # shingle+minhash pipeline per consumer
+    sigs = minhash_signatures(df, text_col, n, num_hashes, id_col).persist()
     return (lsh_candidate_pairs(sigs, bands, id_col)
             .where(F.col("est_jaccard") >= threshold))
 
