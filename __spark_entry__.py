@@ -291,6 +291,27 @@ def q_seqs_ndv_tokens_by_source(spark, sf_dir):
                      <= tol * F.col("exact_ndv")).alias("hll_ok")))
 
 
+def q_winnowing_documents(spark, sf_dir):
+    """Rolling-hash winnowing fingerprints (hash-seeded; rows-only check)."""
+    from python_hll_spark.functions.text import winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents")
+    fps = winnowing_fingerprints(docs)
+    return fps.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+
+
+def q_token_profile_seqs(spark, sf_dir):
+    """Single-scan multi-sketch corpus profile over the token table
+    (HLL + CMS + Bloom over tokens, KLL over n_tok, per source)."""
+    from python_hll_spark.operators.profile import profile_summary, token_profile
+    from python_hll_spark.sources.seqs import seqs_table
+
+    df = seqs_table(spark, 300, partitions=8)
+    return profile_summary(token_profile(df, by="source")) \
+        .select("source", "n_docs", "token_ndv",
+                F.round(F.col("n_tok_p50")).cast("long").alias("n_tok_p50"))
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake-decode features over binary
     payloads synthesized from document bytes."""
@@ -329,6 +350,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "srp_ann_embeddings": q_srp_ann_embeddings,
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
+        "winnowing_documents": q_winnowing_documents,
+        "token_profile_seqs": q_token_profile_seqs,
         "media_features": q_media_features,
     }
 

@@ -68,6 +68,8 @@ def windowed_ndv_stream(stream_df: DataFrame, ts_col: str, key_col: str,
     native streaming HLL++ (approx_count_distinct) — the built-in oracle
     shape; our storage-compatible sketches ride foreachBatch above."""
     return (stream_df
+            # watermarks require TIMESTAMP (ntz is rejected by the analyzer)
+            .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
             .withWatermark(ts_col, watermark)
             .groupBy(F.window(F.col(ts_col), window))
             .agg(F.approx_count_distinct(key_col).alias("ndv")))
