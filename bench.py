@@ -29,7 +29,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000000"))
 SCALING_CORES = tuple(int(c) for c in os.environ.get(
     "SPARK_GRAFT_SCALING_CORES", "1,4,8,32").split(","))
 SEQS_CACHE = os.environ.get("SPARK_GRAFT_SEQS_CACHE",
