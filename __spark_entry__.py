@@ -291,6 +291,30 @@ def q_seqs_ndv_tokens_by_source(spark, sf_dir):
                      <= tol * F.col("exact_ndv")).alias("hll_ok")))
 
 
+def q_cms_top_words_by_source(spark, sf_dir):
+    """Per-source heavy-hitter words: the CMS top-k operator on string keys,
+    bound-checked against exact counts."""
+    from python_hll_spark.operators.topk import cms_topk
+    from python_hll_spark.sketches.cms import CMSConfig
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select("source", F.explode(_norm_words(F.col("text"))).alias("w"))
+    cfg = CMSConfig(depth=5, width=65536)
+    got = cms_topk(words, ["source"], "w", k=3, cfg=cfg)
+    exact = (words.groupBy("source", "w").agg(F.count("*").alias("cnt"))
+             .select(F.col("source").alias("e_source"), F.col("w").alias("e_w"), "cnt"))
+    n_group = words.groupBy("source").agg(F.count("*").alias("n_g"))
+    checked = (got.join(exact, (F.col("key") == F.col("e_w")) &
+                        (F.col("source") == F.col("e_source")))
+               .drop("e_source", "e_w")
+               .join(n_group, "source")
+               .withColumn("ok", (F.col("est_count") >= F.col("cnt")) &
+                           (F.col("est_count") - F.col("cnt") <= cfg.eps * F.col("n_g") + 1)))
+    return (checked.groupBy("source")
+            .agg(F.max("cnt").alias("top1_cnt"),
+                 F.min(F.col("ok").cast("int")).cast("boolean").alias("cms_ok")))
+
+
 def q_winnowing_documents(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (hash-seeded; rows-only check)."""
     from python_hll_spark.functions.text import winnowing_fingerprints
@@ -338,6 +362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv_words_by_source": q_hll_ndv_words_by_source,
         "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
+        "cms_top_words_by_source": q_cms_top_words_by_source,
         "kll_value_by_event_type": q_kll_value_by_event_type,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "bloom_partkeys_by_returnflag": q_bloom_partkeys_by_returnflag,
@@ -380,6 +405,14 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT event_type, user_id, COUNT(*) AS cnt
                   FROM events GROUP BY event_type, user_id)
             GROUP BY event_type
+        """,
+        "cms_top_words_by_source": """
+            WITH w AS (SELECT source,
+                       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+                       FROM documents),
+            counted AS (SELECT source, w, COUNT(*) AS cnt FROM w GROUP BY source, w)
+            SELECT source, MAX(cnt) AS top1_cnt, TRUE AS cms_ok
+            FROM counted GROUP BY source
         """,
         "kll_value_by_event_type": """
             SELECT event_type, COUNT(*) AS n, TRUE AS kll_ok

@@ -29,9 +29,9 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "4000000"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "8000000"))
 SCALING_CORES = tuple(int(c) for c in os.environ.get(
-    "SPARK_GRAFT_SCALING_CORES", "1,4,8,32").split(","))
+    "SPARK_GRAFT_SCALING_CORES", "1,2,4,8,32").split(","))
 SEQS_CACHE = os.environ.get("SPARK_GRAFT_SEQS_CACHE",
                             f"/tmp/spark_graft_seqs_{BENCH_DOCS}")
 
@@ -77,7 +77,8 @@ def _scaling_worker(n_cores: int) -> dict:
     from python_hll_spark.plans.session import get_spark
     from python_hll_spark.sketches.hll import HLLConfig
 
-    reps = 1 if n_cores == 1 else 2
+    # min-of-reps damps scheduler/GC noise; fewer reps where walls are long
+    reps = {1: 1, 2: 2}.get(n_cores, 3)
     spark = get_spark(f"bench-scale-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(32, n_cores))
     spark.sparkContext.setLogLevel("ERROR")

@@ -31,25 +31,29 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
              cfg: CMSConfig | None = None, candidates_per_task: int = 64) -> DataFrame:
     """Top-k ``key_col`` values per group with CMS frequency estimates.
 
-    ``key_col`` must be integral (hash string keys to xxhash64 upstream).
-    Returns (group..., key bigint, est_count bigint, rank int).
+    Works for any orderable key type: the CMS ingests the JVM-side
+    ``xxhash64`` of the key; candidates carry the original key value.
+    Returns (group..., key <input type>, est_count bigint, rank int).
     """
     cfg = cfg or CMSConfig(depth=5, width=65536)
     spec = CMSSpec(cfg)
     cand_c = max(candidates_per_task, 4 * k)
 
-    pruned = df.select(*group_cols, F.col(key_col).cast("long").alias("__key"))
+    pruned = df.select(*group_cols, F.col(key_col).alias("__key"),
+                       F.xxhash64(F.col(key_col)).alias("__kh"))
+    key_type = dict(pruned.dtypes)["__key"]
 
     # -- CMS partials + local exact top-C candidates in ONE pass ------------
     def extract(pdf: pd.DataFrame) -> np.ndarray:
-        return _hash_keys(pdf["__key"].to_numpy(dtype=np.int64))
+        return _hash_keys(pdf["__kh"].to_numpy(dtype=np.int64))
 
     states = merge_sketches(
-        sketch_partials(pruned, group_cols, extract, spec), group_cols, spec)
+        sketch_partials(pruned.drop("__key"), group_cols, extract, spec),
+        group_cols, spec)
 
     group_fields = [f"`{f.name}` {f.dataType.simpleString()}"
                     for f in pruned.schema.fields if f.name in group_cols]
-    cand_schema = ", ".join(group_fields + ["key bigint", "local_count bigint"])
+    cand_schema = ", ".join(group_fields + [f"key {key_type}", "local_count bigint"])
 
     def local_candidates(batches):
         counts: dict = {}
@@ -57,28 +61,29 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
             for gkey, idx in pdf.groupby(group_cols, sort=False).indices.items():
                 if not isinstance(gkey, tuple):
                     gkey = (gkey,)
-                keys = pdf["__key"].to_numpy(dtype=np.int64)[idx]
-                uniq, cnt = np.unique(keys, return_counts=True)
+                sub = pdf["__key"].iloc[idx]
+                vc = sub.value_counts()
                 acc = counts.setdefault(gkey, {})
-                for u, c in zip(uniq.tolist(), cnt.tolist()):
-                    acc[u] = acc.get(u, 0) + c
+                for u, c in vc.items():
+                    acc[u] = acc.get(u, 0) + int(c)
         rows = []
         for gkey, acc in counts.items():
-            top = sorted(acc.items(), key=lambda kv: (-kv[1], kv[0]))[:cand_c]
+            top = sorted(acc.items(), key=lambda kv: (-kv[1], str(kv[0])))[:cand_c]
             rows.extend((*gkey, u, c) for u, c in top)
         yield pd.DataFrame(rows, columns=group_cols + ["key", "local_count"])
 
     candidates = (pruned.mapInPandas(local_candidates, schema=cand_schema)
                   .groupBy(*group_cols, "key")
-                  .agg(F.sum("local_count").alias("cand_count")))
+                  .agg(F.sum("local_count").alias("cand_count"))
+                  .withColumn("__kh", F.xxhash64(F.col("key"))))
 
     # -- estimate candidates against the merged per-group CMS ----------------
     @F.pandas_udf(LongType())
-    def cms_estimate(state: pd.Series, key: pd.Series) -> pd.Series:
+    def cms_estimate(state: pd.Series, key_hash: pd.Series) -> pd.Series:
         from python_hll_spark.sketches.cms import CMSSketch
-        out = np.empty(len(key), dtype=np.int64)
+        out = np.empty(len(key_hash), dtype=np.int64)
         # group probe keys by state blob (few distinct groups per batch)
-        frame = pd.DataFrame({"s": state.map(bytes), "k": key})
+        frame = pd.DataFrame({"s": state.map(bytes), "k": key_hash})
         for blob, sub in frame.groupby("s", sort=False):
             sk = CMSSketch.from_bytes(blob)
             est = sk.estimate(_hash_keys(sub["k"].to_numpy(dtype=np.int64)))
@@ -87,7 +92,8 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
 
     joined = candidates.join(F.broadcast(states.select(*group_cols, "state")),
                              on=group_cols, how="inner")
-    estimated = joined.withColumn("est_count", cms_estimate(F.col("state"), F.col("key")))
+    estimated = joined.withColumn("est_count",
+                                  cms_estimate(F.col("state"), F.col("__kh")))
 
     from pyspark.sql import Window
     w = (Window.partitionBy(*[F.col(c) for c in group_cols])
@@ -101,7 +107,7 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
 def exact_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10) -> DataFrame:
     """Exact oracle (shuffles; test scale only)."""
     from pyspark.sql import Window
-    counted = (df.groupBy(*group_cols, F.col(key_col).cast("long").alias("key"))
+    counted = (df.groupBy(*group_cols, F.col(key_col).alias("key"))
                .agg(F.count("*").alias("cnt")))
     w = (Window.partitionBy(*[F.col(c) for c in group_cols])
          .orderBy(F.desc("cnt"), F.asc("key")))
