@@ -62,6 +62,49 @@ class StreamingSketchBuild:
         return spark.read.parquet(os.path.join(self.state_dir, "current"))
 
 
+def stateful_hll_stream(stream_df: DataFrame, group_col: str, key_col: str,
+                        log2m: int = 11, regwidth: int = 5) -> DataFrame:
+    """Custom stateful streaming NDV via ``applyInPandasWithState``.
+
+    Keeps one serialized HLL per group in Spark's streaming state store and
+    emits (group, ndv, n_rows) on every update — the arbitrary-stateful
+    counterpart to the foreachBatch design (exactly-once state handled by
+    Spark's checkpointing instead of our table rewrite).  Keys are hashed
+    JVM-side (xxhash64) before entering the state function.
+    """
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    hashed = stream_df.select(F.col(group_col).alias("g"),
+                              F.xxhash64(F.col(key_col)).alias("h"))
+
+    def update(key, pdfs, state: GroupState):
+        import numpy as np
+
+        from python_hll_spark.sketches.hll import HLLConfig, HLLSketch
+
+        if state.exists:
+            blob, n_rows = state.get
+            sk = HLLSketch.from_bytes(bytes(blob))
+        else:
+            sk, n_rows = HLLSketch(HLLConfig.create(log2m, regwidth)), 0
+        for pdf in pdfs:
+            sk.add_hashed(pdf["h"].to_numpy(dtype=np.int64))
+            n_rows += len(pdf)
+        state.update((sk.to_bytes(), n_rows))
+        yield pd.DataFrame({"g": [key[0]], "ndv": [sk.cardinality()],
+                            "n_rows": [n_rows]})
+
+    return (hashed.groupBy("g")
+            .applyInPandasWithState(
+                update,
+                outputStructType="g string, ndv bigint, n_rows bigint",
+                stateStructType="state binary, n_rows bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_ndv_stream(stream_df: DataFrame, ts_col: str, key_col: str,
                         window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Watermarked approximate NDV per event-time window using Spark's
