@@ -1,0 +1,77 @@
+"""Physical-plan regression tests: the properties that make the engine
+viable at 100TB must be visible in the executed plan, not just intended.
+
+- scans are column-pruned to exactly what the operator needs;
+- the raw table is NEVER shuffled: the first Exchange sits above the
+  partial-sketch MapInPandas/MapInArrow and carries only state rows;
+- JVM-side hashing happens before the Python boundary;
+- exact dedup gets map-side partial aggregation.
+"""
+
+import re
+
+import pytest
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_ndv_column_plan(spark):
+    from python_hll_spark.operators.ndv import hll_ndv_column
+
+    li = spark.read.parquet("/root/testdata/sf0.01/lineitem.parquet")
+    plan = _plan(hll_ndv_column(li, "l_partkey", by=["l_returnflag"]))
+
+    # column pruning: only the two needed columns reach the scan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"l_partkey", "l_returnflag"}
+
+    # JVM-side hash before Python
+    assert "xxhash64" in plan
+
+    # no Exchange below the partial build: the segment of the plan tree
+    # under MapInPandas must be exchange-free (scan -> project -> map)
+    below_map = plan.split("MapInPandas")[-1]
+    assert "Exchange" not in below_map, below_map
+
+    # exactly two state-row exchanges (salted + final merge)
+    assert plan.count("Exchange") == 2
+
+
+def test_ndv_tokens_arrow_plan(spark):
+    from python_hll_spark.operators.ndv import hll_ndv_tokens
+    from python_hll_spark.sources.seqs import seqs_table
+
+    df = seqs_table(spark, 50, partitions=2)
+    plan = _plan(hll_ndv_tokens(df, by=["source"]))
+    # Arrow-native stage 1; nothing below it shuffles
+    assert "MapInArrow" in plan
+    below = plan.split("MapInArrow")[-1]
+    assert "Exchange" not in below
+    assert plan.count("Exchange") == 2
+
+
+def test_dedup_exact_plan(spark):
+    from python_hll_spark.operators.dedup import dedup_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = _plan(dedup_exact(docs))
+    # map-side combine: partial_min/partial_count below the exchange
+    assert "partial_min" in plan
+    assert "xxhash64" in plan
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"doc_id", "text"}
+
+
+def test_brute_force_topk_broadcasts_probes(spark):
+    from python_hll_spark.operators.similarity import brute_force_topk
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    probes = emb.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding")
+    plan = _plan(brute_force_topk(emb, probes, k=3))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
