@@ -298,7 +298,11 @@ def q_cms_top_words_by_source(spark, sf_dir):
     from python_hll_spark.sketches.cms import CMSConfig
 
     docs = _read(spark, sf_dir, "documents")
-    words = docs.select("source", F.explode(_norm_words(F.col("text"))).alias("w"))
+    # four downstream consumers (CMS partials, candidates, exact counts,
+    # group sizes): persist the exploded words instead of re-running the
+    # regex+explode scan each time
+    words = docs.select("source", F.explode(_norm_words(F.col("text"))).alias("w")) \
+        .persist()
     cfg = CMSConfig(depth=5, width=65536)
     got = cms_topk(words, ["source"], "w", k=3, cfg=cfg)
     exact = (words.groupBy("source", "w").agg(F.count("*").alias("cnt"))
