@@ -102,3 +102,17 @@ def test_merge_partials_grouped_bytes_match(spark):
         seq.add_hashed(hash_tokens(np.concatenate([np.asarray(t, dtype=np.int64)
                                                    for t in sub["tokens"]])))
         assert got[src] == seq.to_bytes(), src
+
+
+def test_ndv_tokens_null_and_empty_rows(spark):
+    """Arrow token path must survive null / empty token arrays (real tables
+    have them even though the generator doesn't)."""
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3], 3), ("b", None, 0), ("a", [], 0), ("b", [3, 4], 2)],
+        "source string, tokens array<int>, n_tok int")
+    rows = {r["source"]: r for r in
+            hll_ndv_tokens(df, by=["source"]).collect()}
+    assert rows["a"]["ndv"] == 3 and rows["a"]["n_values"] == 3
+    assert rows["b"]["ndv"] == 2 and rows["b"]["n_values"] == 2
+    total = hll_ndv_tokens(df).collect()[0]
+    assert total["ndv"] == 4 and total["n_values"] == 5
