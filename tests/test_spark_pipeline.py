@@ -116,3 +116,59 @@ def test_ndv_tokens_null_and_empty_rows(spark):
     assert rows["b"]["ndv"] == 2 and rows["b"]["n_values"] == 2
     total = hll_ndv_tokens(df).collect()[0]
     assert total["ndv"] == 4 and total["n_values"] == 5
+
+
+def test_distributed_union_vectors_match_accumulator(spark):
+    """Union golden vectors: merging every standalone sketch through the
+    distributed salted tree must reproduce the reference accumulator's final
+    bytes (the union CSVs record cumulative in-order unions; associativity
+    makes any merge tree land on the same state)."""
+    for filename in ("cumulative_union_explicit_explicit.csv",
+                     "cumulative_union_sparse_sparse.csv",
+                     "cumulative_union_comprehensive.csv"):
+        with open(os.path.join(DATA, filename)) as f:
+            rows = list(csv.DictReader(f))
+        blobs = [HLLSketch.from_hex(r["multiset"]).to_bytes() for r in rows[1:]]
+        final = HLLSketch.from_hex(rows[-1]["union_multiset"])
+        cfg = HLLSketch.from_hex(rows[0]["union_multiset"]).cfg
+        spec = HLLSpec(cfg)
+
+        from python_hll_spark.operators.aggregate import merge_sketches
+        from pyspark.sql import functions as F
+        partials = spark.createDataFrame(
+            [(0, i % 4, bytearray(b), 1, 1, i) for i, b in enumerate(blobs)],
+            "g int, salt int, state binary, n_rows bigint, n_values bigint, partition_id int")
+        merged = merge_sketches(partials, ["g"], spec).collect()[0]
+        got = HLLSketch.from_bytes(bytes(merged["state"]))
+        assert got.cardinality_float() == pytest.approx(final.cardinality_float()), filename
+        if got.type == final.type:
+            assert got.to_bytes() == final.to_bytes(), filename
+
+
+def test_distributed_cms_and_bloom_byte_match(spark):
+    """CMS (sum) and Bloom (OR) merges are fully order-independent: the
+    distributed build must byte-match a sequential build."""
+    from python_hll_spark.sketches.bloom import BloomConfig, BloomSketch
+    from python_hll_spark.sketches.cms import CMSConfig, CMSSketch
+    from python_hll_spark.sketches.specs import BloomSpec, CMSSpec
+    from python_hll_spark.functions.hashing import splitmix64
+
+    rng = np.random.default_rng(3)
+    values = rng.integers(0, 100_000, size=20_000, dtype=np.int64)
+    hashed = splitmix64(values)
+    df = spark.createDataFrame([(int(v),) for v in hashed], "h bigint").repartition(8)
+
+    def extract(pdf):
+        return pdf["h"].to_numpy(dtype=np.int64)
+
+    cms_spec = CMSSpec(CMSConfig(depth=4, width=4096))
+    cms_got = bytes(sketch_global(df, extract, cms_spec).collect()[0]["state"])
+    cms_seq = CMSSketch(CMSConfig(depth=4, width=4096))
+    cms_seq.update(hashed)
+    assert cms_got == cms_seq.to_bytes()
+
+    bl_spec = BloomSpec(BloomConfig(log2_bits=16, num_hashes=5))
+    bl_got = bytes(sketch_global(df, extract, bl_spec).collect()[0]["state"])
+    bl_seq = BloomSketch(BloomConfig(log2_bits=16, num_hashes=5))
+    bl_seq.update(hashed)
+    assert bl_got == bl_seq.to_bytes()
