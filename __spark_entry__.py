@@ -291,6 +291,49 @@ def q_seqs_ndv_tokens_by_source(spark, sf_dir):
                      <= tol * F.col("exact_ndv")).alias("hll_ok")))
 
 
+def q_hll_rollup_union(spark, sf_dir):
+    """The reference's core interchange pattern: per-group sketches are
+    UNIONED into a global rollup instead of rescanning.  Asserts (a) the
+    rolled-up estimate is within bound of the exact global NDV and (b) the
+    rollup bytes equal a direct global build (associativity)."""
+    import pandas as pd
+    from pyspark.sql.types import BooleanType
+
+    from python_hll_spark.operators.ndv import hll_ndv_column
+    from python_hll_spark.sketches.hll import HLLConfig, HLLSketch
+
+    events = _read(spark, sf_dir, "events")
+    cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
+    per_group = hll_ndv_column(events, "user_id", by=["event_type"], cfg=cfg)
+    direct = hll_ndv_column(events, "user_id", cfg=cfg)
+
+    states = [bytes(r["state"]) for r in per_group.collect()]
+    acc = HLLSketch(cfg)
+    for b in states:
+        acc.union(HLLSketch.from_bytes(b))
+    direct_row = direct.collect()[0]
+    bytes_match = acc.to_bytes() == bytes(direct_row["state"])
+    est = acc.cardinality()
+
+    exact = events.agg(F.countDistinct("user_id").alias("exact_ndv"))
+    tol = HLL_TOL * cfg.error_bound
+    return exact.select(
+        "exact_ndv",
+        F.lit(bool(bytes_match)).alias("rollup_bytes_match"),
+        (F.abs(F.lit(est) - F.col("exact_ndv")) <= tol * F.col("exact_ndv")).alias("rollup_ok"),
+    )
+
+
+def q_hll_ndv_hourly_events(spark, sf_dir):
+    """Time-windowed NDV rollup: per event-hour approximate user NDV with
+    bound check (the streaming-window shape, in batch)."""
+    events = _read(spark, sf_dir, "events").withColumn(
+        "hour", F.date_trunc("hour", F.col("ts")))
+    out = _hll_bound_check(events, "user_id", "hour")
+    return out.select(F.col("hour").cast("string").alias("hour"),
+                      "exact_ndv", "hll_ok")
+
+
 def q_cms_top_words_by_source(spark, sf_dir):
     """Per-source heavy-hitter words: the CMS top-k operator on string keys,
     bound-checked against exact counts."""
@@ -365,6 +408,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
         "hll_ndv_words_by_source": q_hll_ndv_words_by_source,
         "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
+        "hll_rollup_union": q_hll_rollup_union,
+        "hll_ndv_hourly_events": q_hll_ndv_hourly_events,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
         "cms_top_words_by_source": q_cms_top_words_by_source,
         "kll_value_by_event_type": q_kll_value_by_event_type,
@@ -403,6 +448,16 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT source, COUNT(DISTINCT w) AS exact_ndv, TRUE AS hll_ok
             FROM w GROUP BY source
+        """,
+        "hll_rollup_union": """
+            SELECT COUNT(DISTINCT user_id) AS exact_ndv,
+                   TRUE AS rollup_bytes_match, TRUE AS rollup_ok
+            FROM events
+        """,
+        "hll_ndv_hourly_events": """
+            SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
+                   COUNT(DISTINCT user_id) AS exact_ndv, TRUE AS hll_ok
+            FROM events GROUP BY date_trunc('hour', ts)
         """,
         "cms_top1_by_event_type": """
             SELECT event_type, MAX(cnt) AS top1_cnt, TRUE AS cms_ok

@@ -172,3 +172,25 @@ def test_distributed_cms_and_bloom_byte_match(spark):
     bl_seq = BloomSketch(BloomConfig(log2_bits=16, num_hashes=5))
     bl_seq.update(hashed)
     assert bl_got == bl_seq.to_bytes()
+
+
+def test_skewed_group_partials_spread_across_salts(spark):
+    """Explicit skew handling: a group holding ~99% of the data must arrive
+    at level-1 reducers under multiple salts (bounded fan-in), not one."""
+    from pyspark.sql import functions as F
+    from python_hll_spark.operators.aggregate import sketch_partials
+
+    n = 40_000
+    df = (spark.range(n)
+          .select(F.when(F.col("id") % 100 < 99, F.lit("hot"))
+                  .otherwise(F.lit("cold")).alias("source"),
+                  F.xxhash64("id").alias("h"))
+          .repartition(16))
+    spec = HLLSpec(HLLConfig.create(11, 5))
+    partials = sketch_partials(df, ["source"],
+                               lambda pdf: pdf["h"].to_numpy(dtype=np.int64),
+                               spec, n_salts=8)
+    per_salt = (partials.where("source = 'hot'")
+                .groupBy("salt").count().collect())
+    assert len(per_salt) >= 4  # hot group spread across salts
+    assert max(r["count"] for r in per_salt) <= 16  # bounded fan-in per reducer
