@@ -189,6 +189,61 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
             .select("id_a", "id_b", "hamming"))
 
 
+# ------------------------------------------ duplicate-cluster resolution
+def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components of an undirected (id_a, id_b) edge list via
+    iterative min-label propagation — pure DataFrame joins, so Catalyst/AQE
+    handle the shuffles and it scales with the cluster (no driver graphs).
+
+    Returns (id, component) where component is the min member id.
+    Converges in O(diameter) iterations; duplicate clusters are tiny, so
+    a handful of iterations suffice (checkpointed via localCheckpoint to
+    keep lineage bounded)."""
+    both = (edges.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
+            .unionByName(edges.select(F.col("id_b").alias("node"),
+                                      F.col("id_a").alias("nbr")))
+            .localCheckpoint(eager=True))
+    labels = (both.select("node").distinct()
+              .withColumn("component", F.col("node"))
+              .localCheckpoint(eager=True))
+    for _ in range(max_iter):
+        nbr_labels = labels.select(F.col("node").alias("nbr"),
+                                   F.col("component").alias("nbr_component"))
+        neighbor_min = (both.join(nbr_labels, "nbr")
+                        .groupBy("node")
+                        .agg(F.min("nbr_component").alias("nbr_min")))
+        updated = (labels.join(neighbor_min, "node", "left")
+                   .select("node",
+                           F.least(F.col("component"),
+                                   F.coalesce(F.col("nbr_min"), F.col("component")))
+                           .alias("component"))
+                   .localCheckpoint(eager=True))
+        changed = (updated.withColumnRenamed("component", "new_component")
+                   .join(labels, "node")
+                   .where(F.col("new_component") != F.col("component")).count())
+        labels = updated
+        if changed == 0:
+            break
+    return labels.select(F.col("node").alias("id"), "component")
+
+
+def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+               threshold: float = 0.8, num_hashes: int = 128, bands: int = 32,
+               n: int = 3) -> DataFrame:
+    """Near-duplicate REMOVAL: MinHash-LSH pair discovery -> connected
+    components -> keep the min-id representative per duplicate cluster.
+
+    Returns the deduplicated rows of ``df`` (all original columns)."""
+    pairs = minhash_dedup_pairs(df, text_col, n, num_hashes, bands, threshold,
+                                id_col).select("id_a", "id_b")
+    comps = connected_components(pairs)
+    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
+    drop_ids = (comps.join(keep, "component")
+                .where(F.col("id") != F.col("keep_id"))
+                .select(F.col("id").alias(id_col)))
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
 # ------------------------------------------------- exact Jaccard (oracle)
 def jaccard_word_pairs(df: DataFrame, text_col: str = "text",
                        threshold: float = 0.5, id_col: str = "doc_id") -> DataFrame:

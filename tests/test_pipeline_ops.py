@@ -167,3 +167,31 @@ def test_multimodal_plumbing(spark):
 
     fr = sample_frames(media, every_ms=1000).collect()
     assert all(len(r["frame_ts"]) == 5 for r in fr)
+
+
+def test_connected_components(spark):
+    from python_hll_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 21), (21, 22), (22, 23)],
+        "id_a bigint, id_b bigint")
+    comps = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
+                     20: 20, 21: 20, 22: 20, 23: 20}
+
+
+def test_near_dedup_removes_clusters(spark, documents, docs_with_dupes):
+    from python_hll_spark.operators.dedup import near_dedup
+
+    n_docs = documents.count()
+    kept = near_dedup(docs_with_dupes, threshold=0.6, num_hashes=64, bands=16)
+    kept_ids = {r["doc_id"] for r in kept.select("doc_id").collect()}
+    # exact dupes (id+100000) must be gone; their originals kept
+    base_ids = [r["doc_id"] for r in docs_with_dupes.where("doc_id < 20").collect()]
+    for i in base_ids:
+        assert i in kept_ids
+        assert i + 100000 not in kept_ids
+    # most near-dupes (id+200000, one extra token) should also collapse
+    removed_near = sum(i + 200000 not in kept_ids for i in base_ids)
+    assert removed_near >= len(base_ids) * 0.7
+    assert kept.count() <= n_docs + 20 - removed_near + 20
