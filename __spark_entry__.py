@@ -362,6 +362,16 @@ def q_cms_top_words_by_source(spark, sf_dir):
                  F.min(F.col("ok").cast("int")).cast("boolean").alias("cms_ok")))
 
 
+def q_near_dedup_documents(spark, sf_dir):
+    """Near-duplicate removal end to end (MinHash-LSH -> connected
+    components -> keep representative); hash-seeded, rows-only check."""
+    from python_hll_spark.operators.dedup import near_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    kept = near_dedup(docs, threshold=0.9, num_hashes=64, bands=16)
+    return kept.select("doc_id")
+
+
 def q_winnowing_documents(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (hash-seeded; rows-only check)."""
     from python_hll_spark.functions.text import winnowing_fingerprints
@@ -424,6 +434,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_documents": q_simhash_documents,
         "srp_ann_embeddings": q_srp_ann_embeddings,
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
+        "near_dedup_documents": q_near_dedup_documents,
         "winnowing_documents": q_winnowing_documents,
         "token_profile_seqs": q_token_profile_seqs,
         "media_features": q_media_features,
