@@ -73,3 +73,13 @@ def test_streaming_sketch_build_matches_batch(spark, seqs_files, tmp_path):
     got = {r["source"]: bytes(r["state"])
            for r in build.current_state(spark).collect()}
     assert got == batch
+
+
+def test_tables_reader_parquet_fallback(spark, seqs_files):
+    import os
+    from python_hll_spark.sources.tables import iceberg_available, read_seqs
+
+    assert iceberg_available(spark) is False  # sandbox ships no Iceberg jar
+    df = read_seqs(spark, path=os.path.dirname(seqs_files[0]))
+    assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
+    assert df.count() == 300
