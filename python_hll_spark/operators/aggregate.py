@@ -199,6 +199,81 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
     return pruned.mapInArrow(build, schema=out_schema)
 
 
+def scalar_partials_arrow(df: DataFrame, group_cols: list[str], value_col: str,
+                          spec: SketchSpec, n_salts: int = 16) -> DataFrame:
+    """Stage 1 for scalar int64 value columns (e.g. pre-hashed keys),
+    Arrow-native: skips the Arrow->pandas conversion entirely and groups via
+    dictionary-encoded codes + counting sort.  <=1 group column."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    if len(group_cols) > 1:
+        raise ValueError("scalar_partials_arrow supports at most one group column")
+    out_schema = _partial_schema(df.select(*group_cols, value_col), group_cols)
+    pruned = df.select(*group_cols, value_col)
+
+    def build(batches):
+        pid = TaskContext.get().partitionId()
+        states: dict = {}
+        counts: dict = {}
+        for batch in batches:
+            col = batch.column(value_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            values = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            if group_cols:
+                gcol = batch.column(group_cols[0])
+                if isinstance(gcol, pa.ChunkedArray):
+                    gcol = gcol.combine_chunks()
+                enc = gcol.dictionary_encode()
+                codes = enc.indices.to_numpy(zero_copy_only=False)
+                dictionary = enc.dictionary.to_pylist()
+                order = np.argsort(codes, kind="stable")
+                values = values[order]
+                bounds = np.zeros(len(dictionary) + 1, dtype=np.int64)
+                np.cumsum(np.bincount(codes, minlength=len(dictionary)),
+                          out=bounds[1:])
+                for g, gval in enumerate(dictionary):
+                    vals = values[bounds[g]:bounds[g + 1]]
+                    if len(vals) == 0:
+                        continue
+                    key = (gval,)
+                    st = states.get(key)
+                    if st is None:
+                        st = states[key] = spec.new()
+                        counts[key] = [0, 0]
+                    spec.update(st, vals)
+                    counts[key][0] += len(vals)
+                    counts[key][1] += len(vals)
+            else:
+                key = ()
+                st = states.get(key)
+                if st is None:
+                    st = states[key] = spec.new()
+                    counts[key] = [0, 0]
+                spec.update(st, values)
+                counts[key][0] += len(values)
+                counts[key][1] += len(values)
+        if not states:
+            return
+        keys = list(states)
+        arrays, names = [], []
+        for i, gcol_name in enumerate(group_cols):
+            arrays.append(pa.array([k[i] for k in keys]))
+            names.append(gcol_name)
+        arrays += [
+            pa.array([pid % n_salts] * len(keys), pa.int32()),
+            pa.array([spec.serialize(states[k]) for k in keys], pa.binary()),
+            pa.array([counts[k][0] for k in keys], pa.int64()),
+            pa.array([counts[k][1] for k in keys], pa.int64()),
+            pa.array([pid] * len(keys), pa.int32()),
+        ]
+        names += ["salt", "state", "n_rows", "n_values", "partition_id"]
+        yield pa.RecordBatch.from_arrays(arrays, names=names)
+
+    return pruned.mapInArrow(build, schema=out_schema)
+
+
 def merge_sketches(partials: DataFrame, group_cols: list[str],
                    spec: SketchSpec, two_level: bool = True) -> DataFrame:
     """Stages 2+3: salted tree merge down to one state row per group."""

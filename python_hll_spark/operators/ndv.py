@@ -59,16 +59,25 @@ def hll_ndv_tokens(df: DataFrame, by: list[str] | None = None,
 def hll_ndv_column(df: DataFrame, value_col: str, by: list[str] | None = None,
                    cfg: HLLConfig | None = None, n_salts: int = 16) -> DataFrame:
     """Approx NDV of an arbitrary column: values are hashed to int64 with
-    JVM-side xxhash64 (codegen) before the Python boundary.
+    JVM-side xxhash64 (codegen) before the Python boundary; the partial
+    build is Arrow-native for <=1 group column (pandas fallback otherwise).
 
     Returns (by..., ndv bigint, state binary)."""
     from python_hll_spark.functions.sketch_funcs import hll_cardinality
+    from python_hll_spark.operators.aggregate import (
+        merge_sketches, scalar_partials_arrow)
 
     spec = HLLSpec(cfg or HLLConfig.create(11, 5))
-    hashed = df.select(*(by or []), F.xxhash64(F.col(value_col)).alias("__h"))
-    extractor = _hashed_col_extractor("__h")
-    if by:
-        states = sketch_groupby(hashed, by, extractor, spec, n_salts=n_salts)
+    by = by or []
+    hashed = df.select(*by, F.xxhash64(F.col(value_col)).alias("__h"))
+    if len(by) <= 1:
+        partials = scalar_partials_arrow(hashed, by, "__h", spec, n_salts=n_salts)
+        if by:
+            states = merge_sketches(partials, by, spec)
+        else:
+            states = merge_sketches(partials.withColumn("__g", F.lit(0)),
+                                    ["__g"], spec).drop("__g")
     else:
-        states = sketch_global(hashed, extractor, spec, n_salts=n_salts)
+        states = sketch_groupby(hashed, by, _hashed_col_extractor("__h"),
+                                spec, n_salts=n_salts)
     return states.withColumn("ndv", hll_cardinality(F.col("state")))

@@ -27,6 +27,31 @@ def _hash_keys(keys: np.ndarray) -> np.ndarray:
     return splitmix64(keys.astype(np.int64, copy=False))
 
 
+class _SplitmixCMSSpec:
+    """CMS spec whose update splitmix-finalizes raw xxhash64 values, so the
+    Arrow stage-1 feeds the same hashed stream the probe path uses."""
+
+    name = "cms"
+
+    def __init__(self, inner):
+        self._inner = inner
+
+    def new(self):
+        return self._inner.new()
+
+    def update(self, state, values: np.ndarray) -> None:
+        self._inner.update(state, _hash_keys(values))
+
+    def merge(self, state, other) -> None:
+        self._inner.merge(state, other)
+
+    def serialize(self, state) -> bytes:
+        return self._inner.serialize(state)
+
+    def deserialize(self, data: bytes):
+        return self._inner.deserialize(data)
+
+
 def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
              cfg: CMSConfig | None = None, candidates_per_task: int = 64) -> DataFrame:
     """Top-k ``key_col`` values per group with CMS frequency estimates.
@@ -43,13 +68,19 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
                        F.xxhash64(F.col(key_col)).alias("__kh"))
     key_type = dict(pruned.dtypes)["__key"]
 
-    # -- CMS partials + local exact top-C candidates in ONE pass ------------
-    def extract(pdf: pd.DataFrame) -> np.ndarray:
-        return _hash_keys(pdf["__kh"].to_numpy(dtype=np.int64))
+    # -- CMS partials (Arrow-native for <=1 group col) + candidates ----------
+    from python_hll_spark.operators.aggregate import scalar_partials_arrow
 
-    states = merge_sketches(
-        sketch_partials(pruned.drop("__key"), group_cols, extract, spec),
-        group_cols, spec)
+    hashed_spec = _SplitmixCMSSpec(spec)
+    if len(group_cols) <= 1:
+        partials = scalar_partials_arrow(pruned.drop("__key"), group_cols,
+                                         "__kh", hashed_spec)
+    else:
+        def extract(pdf: pd.DataFrame) -> np.ndarray:
+            return _hash_keys(pdf["__kh"].to_numpy(dtype=np.int64))
+
+        partials = sketch_partials(pruned.drop("__key"), group_cols, extract, spec)
+    states = merge_sketches(partials, group_cols, spec)
 
     group_fields = [f"`{f.name}` {f.dataType.simpleString()}"
                     for f in pruned.schema.fields if f.name in group_cols]

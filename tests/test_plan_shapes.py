@@ -33,8 +33,9 @@ def test_ndv_column_plan(spark):
     assert "xxhash64" in plan
 
     # no Exchange below the partial build: the segment of the plan tree
-    # under MapInPandas must be exchange-free (scan -> project -> map)
-    below_map = plan.split("MapInPandas")[-1]
+    # under the Arrow partial stage must be exchange-free
+    assert "MapInArrow" in plan
+    below_map = plan.split("MapInArrow")[-1]
     assert "Exchange" not in below_map, below_map
 
     # exactly two state-row exchanges (salted + final merge)
