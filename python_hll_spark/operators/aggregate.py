@@ -199,11 +199,39 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
     return pruned.mapInArrow(build, schema=out_schema)
 
 
+class SplitmixSpec:
+    """Wrap any hashed-input spec so stage-1 updates splitmix-finalize raw
+    int64 (e.g. xxhash64) values first — keeps Arrow builders and probe
+    UDFs on the same hashed stream."""
+
+    def __init__(self, inner: SketchSpec):
+        self._inner = inner
+        self.name = inner.name
+
+    def new(self):
+        return self._inner.new()
+
+    def update(self, state, values: np.ndarray) -> None:
+        from python_hll_spark.functions.hashing import splitmix64
+        self._inner.update(state, splitmix64(values))
+
+    def merge(self, state, other) -> None:
+        self._inner.merge(state, other)
+
+    def serialize(self, state) -> bytes:
+        return self._inner.serialize(state)
+
+    def deserialize(self, data: bytes):
+        return self._inner.deserialize(data)
+
+
 def scalar_partials_arrow(df: DataFrame, group_cols: list[str], value_col: str,
-                          spec: SketchSpec, n_salts: int = 16) -> DataFrame:
-    """Stage 1 for scalar int64 value columns (e.g. pre-hashed keys),
-    Arrow-native: skips the Arrow->pandas conversion entirely and groups via
-    dictionary-encoded codes + counting sort.  <=1 group column."""
+                          spec: SketchSpec, n_salts: int = 16,
+                          dtype=np.int64) -> DataFrame:
+    """Stage 1 for scalar value columns (pre-hashed int64 keys, or float64
+    measures for quantile sketches), Arrow-native: skips the Arrow->pandas
+    conversion entirely and groups via dictionary-encoded codes + counting
+    sort.  <=1 group column."""
     import pyarrow as pa
     from pyspark import TaskContext
 
@@ -220,7 +248,7 @@ def scalar_partials_arrow(df: DataFrame, group_cols: list[str], value_col: str,
             col = batch.column(value_col)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            values = col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            values = col.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
             if group_cols:
                 gcol = batch.column(group_cols[0])
                 if isinstance(gcol, pa.ChunkedArray):

@@ -20,18 +20,27 @@ def _hash_keys(keys: np.ndarray) -> np.ndarray:
 
 def bloom_build(df: DataFrame, key_col: str, by: list[str] | None = None,
                 cfg: BloomConfig | None = None) -> DataFrame:
-    """Build per-group Bloom states over an integral key column.
+    """Build per-group Bloom states over an integral key column
+    (Arrow-native stage 1 for <=1 group column).
 
     Returns (by..., state binary, n_values bigint)."""
+    from python_hll_spark.operators.aggregate import (
+        SplitmixSpec, merge_sketches, scalar_partials_arrow)
+
     spec = BloomSpec(cfg or BloomConfig())
-    pruned = df.select(*(by or []), F.col(key_col).cast("long").alias("__key"))
+    by = by or []
+    pruned = df.select(*by, F.col(key_col).cast("long").alias("__key"))
+    if len(by) <= 1:
+        partials = scalar_partials_arrow(pruned, by, "__key", SplitmixSpec(spec))
+        if by:
+            return merge_sketches(partials, by, spec)
+        return merge_sketches(partials.withColumn("__g", F.lit(0)),
+                              ["__g"], spec).drop("__g")
 
     def extract(pdf: pd.DataFrame) -> np.ndarray:
         return _hash_keys(pdf["__key"].to_numpy(dtype=np.int64))
 
-    if by:
-        return sketch_groupby(pruned, by, extract, spec)
-    return sketch_global(pruned, extract, spec)
+    return sketch_groupby(pruned, by, extract, spec)
 
 
 def bloom_probe(states: DataFrame, probes: DataFrame, key_col: str,

@@ -27,29 +27,6 @@ def _hash_keys(keys: np.ndarray) -> np.ndarray:
     return splitmix64(keys.astype(np.int64, copy=False))
 
 
-class _SplitmixCMSSpec:
-    """CMS spec whose update splitmix-finalizes raw xxhash64 values, so the
-    Arrow stage-1 feeds the same hashed stream the probe path uses."""
-
-    name = "cms"
-
-    def __init__(self, inner):
-        self._inner = inner
-
-    def new(self):
-        return self._inner.new()
-
-    def update(self, state, values: np.ndarray) -> None:
-        self._inner.update(state, _hash_keys(values))
-
-    def merge(self, state, other) -> None:
-        self._inner.merge(state, other)
-
-    def serialize(self, state) -> bytes:
-        return self._inner.serialize(state)
-
-    def deserialize(self, data: bytes):
-        return self._inner.deserialize(data)
 
 
 def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
@@ -69,12 +46,11 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
     key_type = dict(pruned.dtypes)["__key"]
 
     # -- CMS partials (Arrow-native for <=1 group col) + candidates ----------
-    from python_hll_spark.operators.aggregate import scalar_partials_arrow
+    from python_hll_spark.operators.aggregate import SplitmixSpec, scalar_partials_arrow
 
-    hashed_spec = _SplitmixCMSSpec(spec)
     if len(group_cols) <= 1:
         partials = scalar_partials_arrow(pruned.drop("__key"), group_cols,
-                                         "__kh", hashed_spec)
+                                         "__kh", SplitmixSpec(spec))
     else:
         def extract(pdf: pd.DataFrame) -> np.ndarray:
             return _hash_keys(pdf["__kh"].to_numpy(dtype=np.int64))
