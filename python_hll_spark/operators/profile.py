@@ -28,10 +28,14 @@ from python_hll_spark.sketches.multi import MultiSpec
 
 
 def _default_sketches():
+    # cache-conscious defaults: the CMS/Bloom tables are the profile's only
+    # random-access state; these sizes keep the per-group working set
+    # ~L2/L3-resident while the error bounds stay far below heavy-hitter
+    # scale (eps*N = 0.017% of tokens; Bloom fp ~3% at 131k distinct)
     return {
         "hll_tokens": lambda: HLLSketch(HLLConfig.create(11, 5)),
-        "cms_tokens": lambda: CMSSketch(CMSConfig(depth=5, width=65536)),
-        "bloom_tokens": lambda: BloomSketch(BloomConfig(log2_bits=21, num_hashes=5)),
+        "cms_tokens": lambda: CMSSketch(CMSConfig(depth=5, width=16384)),
+        "bloom_tokens": lambda: BloomSketch(BloomConfig(log2_bits=20, num_hashes=5)),
         "kll_n_tok": lambda: KLLSketch(KLLConfig(k=200)),
     }
 
