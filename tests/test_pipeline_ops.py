@@ -195,3 +195,26 @@ def test_near_dedup_removes_clusters(spark, documents, docs_with_dupes):
     removed_near = sum(i + 200000 not in kept_ids for i in base_ids)
     assert removed_near >= len(base_ids) * 0.7
     assert kept.count() <= n_docs + 20 - removed_near + 20
+
+
+def test_prepare_corpus_end_to_end(spark, documents, docs_with_dupes):
+    from python_hll_spark.plans.pipeline import CorpusFilterConfig, prepare_corpus
+
+    cfg = CorpusFilterConfig(min_quality=0.0, min_words=1,
+                             near_dup_threshold=0.6,
+                             minhash_hashes=64, minhash_bands=16)
+    clean, metrics = prepare_corpus(docs_with_dupes, cfg)
+    n_docs = documents.count()
+    assert metrics["rows_in"] == n_docs + 40
+    assert metrics["rows_after_quality"] <= metrics["rows_in"]
+    # exact dupes removed at the fingerprint stage
+    assert metrics["rows_after_exact_dedup"] <= metrics["rows_after_quality"] - 15
+    assert metrics["rows_out"] <= metrics["rows_after_exact_dedup"]
+    # surviving frame keeps original + computed columns
+    for col in ("doc_id", "text", "quality", "lang_pred", "fingerprint"):
+        assert col in clean.columns
+    # base documents with dupes injected: their originals survive
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    base_ids = {r["doc_id"] for r in docs_with_dupes.where("doc_id < 20").collect()}
+    survived = base_ids & kept
+    assert len(survived) >= len(base_ids) * 0.8
