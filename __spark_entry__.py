@@ -393,6 +393,18 @@ def q_token_profile_seqs(spark, sf_dir):
                 F.round(F.col("n_tok_p50")).cast("long").alias("n_tok_p50"))
 
 
+def q_prepare_corpus_documents(spark, sf_dir):
+    """Full corpus-prep composition (stats -> filters -> exact dedup ->
+    near-dup removal); hash-seeded LSH inside, so rows-only check."""
+    from python_hll_spark.plans.pipeline import CorpusFilterConfig, prepare_corpus
+
+    docs = _read(spark, sf_dir, "documents")
+    clean, _ = prepare_corpus(docs, CorpusFilterConfig(
+        min_quality=0.0, min_words=1, near_dup_threshold=0.9,
+        minhash_hashes=64, minhash_bands=16))
+    return clean.select("doc_id", "lang_pred", "n_words")
+
+
 def q_media_features(spark, sf_dir):
     """Multimodal plumbing: deterministic fake-decode features over binary
     payloads synthesized from document bytes."""
@@ -437,6 +449,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_documents": q_near_dedup_documents,
         "winnowing_documents": q_winnowing_documents,
         "token_profile_seqs": q_token_profile_seqs,
+        "prepare_corpus_documents": q_prepare_corpus_documents,
         "media_features": q_media_features,
     }
 
