@@ -76,3 +76,15 @@ def test_brute_force_topk_broadcasts_probes(spark):
     probes = emb.limit(2).select(F.col("vec_id").alias("probe_id"), "embedding")
     plan = _plan(brute_force_topk(emb, probes, k=3))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_token_profile_plan(spark):
+    from python_hll_spark.operators.profile import token_profile
+    from python_hll_spark.sources.seqs import seqs_table
+
+    df = seqs_table(spark, 50, partitions=2)
+    plan = _plan(token_profile(df, by="source"))
+    assert "MapInArrow" in plan
+    below = plan.split("MapInArrow")[-1]
+    assert "Exchange" not in below
+    assert plan.count("Exchange") == 2  # salted + final merge only

@@ -168,3 +168,19 @@ def test_tdigest_merge_and_roundtrip():
                        acc.quantile(np.array([0.25, 0.5, 0.75])))
     # centroid count bounded by the compression parameter
     assert len(back.means) <= 3 * cfg.compression
+
+
+def test_tdigest_tail_quantiles():
+    """Tail accuracy (the reason t-digest exists): q=0.001/0.999 on a heavy
+    tail must land within tight rank error."""
+    cfg = TDigestConfig(compression=200.0)
+    rng = np.random.default_rng(11)
+    data = rng.pareto(2.0, size=400_000) + 1.0
+    sk = TDigestSketch(cfg)
+    for chunk in np.array_split(data, 40):
+        sk.update(chunk)
+    sorted_data = np.sort(data)
+    for q in (0.001, 0.01, 0.99, 0.999):
+        est = sk.quantile(q)
+        true_rank = np.searchsorted(sorted_data, est) / len(data)
+        assert abs(true_rank - q) < 0.005, (q, true_rank, est)
