@@ -47,33 +47,44 @@ def with_shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3,
 # ---------------------------------------------------------------- MinHash
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
                        num_hashes: int = 128, id_col: str = "doc_id") -> DataFrame:
-    """(id, sig array<bigint>): K permutation-minima over shingle hashes."""
+    """(id, sig array<bigint>): K permutation-minima over shingle hashes.
+
+    Arrow-native: shingle lists flatten zero-copy; per-doc minima come from
+    ``np.minimum.reduceat`` segment reductions — one vector hash pass per
+    permutation across the whole batch, no per-row Python."""
+    import pyarrow as pa
+
     shingled = with_shingle_hashes(df, text_col, n, id_col)
 
     def compute(batches):
-        for pdf in batches:
-            arrs = [np.asarray(a, dtype=np.int64) for a in pdf["shingles"]]
-            lengths = np.array([len(a) for a in arrs], dtype=np.int64)
+        for batch in batches:
+            sh = batch.column("shingles")
+            if isinstance(sh, pa.ChunkedArray):
+                sh = sh.combine_chunks()
+            flat = sh.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            all_offsets = sh.offsets.to_numpy(zero_copy_only=False)
+            lengths = np.diff(all_offsets)
             nonempty = lengths > 0
-            flat = (np.concatenate([a for a in arrs if len(a)])
-                    if nonempty.any() else np.empty(0, dtype=np.int64))
-            offsets = np.zeros(int(nonempty.sum()), dtype=np.int64)
-            np.cumsum(lengths[nonempty][:-1], out=offsets[1:])
-            n_docs = len(pdf)
+            base = all_offsets[0]
+            offsets = (all_offsets[:-1][nonempty] - base).astype(np.int64)
+            n_docs = len(lengths)
             sig_mat = np.full((n_docs, num_hashes), np.iinfo(np.int64).max,
                               dtype=np.int64)
-            # vectorized across docs: one permutation hash pass over the
-            # concatenated shingles, then segment-minima via reduceat
             for k in range(num_hashes):
-                hk = splitmix64(flat, seed=k).view(np.uint64)
                 if len(flat):
+                    hk = splitmix64(flat, seed=k).view(np.uint64)
                     mins = np.minimum.reduceat(hk, offsets)
                     sig_mat[nonempty, k] = mins.astype(np.int64)
-            sigs = list(sig_mat)
-            yield pd.DataFrame({id_col: pdf[id_col], "sig": sigs})
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(list(sig_mat), pa.list_(pa.int64()))],
+                names=[id_col, "sig"])
 
     id_type = dict(df.dtypes)[id_col]
-    return shingled.mapInPandas(compute, schema=f"`{id_col}` {id_type}, sig array<bigint>")
+    return shingled.mapInArrow(compute, schema=f"`{id_col}` {id_type}, sig array<bigint>")
 
 
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
