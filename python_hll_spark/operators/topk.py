@@ -45,17 +45,14 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
                        F.xxhash64(F.col(key_col)).alias("__kh"))
     key_type = dict(pruned.dtypes)["__key"]
 
-    # -- CMS partials (Arrow-native for <=1 group col) + candidates ----------
+    # -- CMS partials + candidates, both Arrow-native ------------------------
     from python_hll_spark.operators.aggregate import SplitmixSpec, scalar_partials_arrow
 
-    if len(group_cols) <= 1:
-        partials = scalar_partials_arrow(pruned.drop("__key"), group_cols,
-                                         "__kh", SplitmixSpec(spec))
-    else:
-        def extract(pdf: pd.DataFrame) -> np.ndarray:
-            return _hash_keys(pdf["__kh"].to_numpy(dtype=np.int64))
-
-        partials = sketch_partials(pruned.drop("__key"), group_cols, extract, spec)
+    if len(group_cols) > 1:
+        raise ValueError("cms_topk supports at most one group column; "
+                         "pre-combine composite keys into one column")
+    partials = scalar_partials_arrow(pruned.drop("__key"), group_cols,
+                                     "__kh", SplitmixSpec(spec))
     states = merge_sketches(partials, group_cols, spec)
 
     group_fields = [f"`{f.name}` {f.dataType.simpleString()}"
@@ -63,23 +60,51 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
     cand_schema = ", ".join(group_fields + [f"key {key_type}", "local_count bigint"])
 
     def local_candidates(batches):
-        counts: dict = {}
-        for pdf in batches:
-            for gkey, idx in pdf.groupby(group_cols, sort=False).indices.items():
-                if not isinstance(gkey, tuple):
-                    gkey = (gkey,)
-                sub = pdf["__key"].iloc[idx]
-                vc = sub.value_counts()
-                acc = counts.setdefault(gkey, {})
-                for u, c in vc.items():
-                    acc[u] = acc.get(u, 0) + int(c)
-        rows = []
-        for gkey, acc in counts.items():
-            top = sorted(acc.items(), key=lambda kv: (-kv[1], str(kv[0])))[:cand_c]
-            rows.extend((*gkey, u, c) for u, c in top)
-        yield pd.DataFrame(rows, columns=group_cols + ["key", "local_count"])
+        """Per-task exact local top-C via dictionary-encoded composite codes:
+        one bincount per Arrow batch, no per-row Python / pandas strings."""
+        import pyarrow as pa
+        counts: dict = {}  # (gval, key) -> count
+        for batch in batches:
+            kcol = batch.column("__key")
+            if isinstance(kcol, pa.ChunkedArray):
+                kcol = kcol.combine_chunks()
+            kenc = kcol.dictionary_encode()
+            kcodes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            kdict = kenc.dictionary.to_pylist()
+            if group_cols:
+                gcol = batch.column(group_cols[0])
+                if isinstance(gcol, pa.ChunkedArray):
+                    gcol = gcol.combine_chunks()
+                genc = gcol.dictionary_encode()
+                gcodes = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+                gdict = genc.dictionary.to_pylist()
+            else:
+                gcodes, gdict = np.zeros(len(kcodes), dtype=np.int64), [None]
+            comp = gcodes * len(kdict) + kcodes
+            cnt = np.bincount(comp, minlength=len(gdict) * len(kdict))
+            nz = np.nonzero(cnt)[0]
+            for code, c in zip(nz.tolist(), cnt[nz].tolist()):
+                pair = (gdict[code // len(kdict)], kdict[code % len(kdict)])
+                counts[pair] = counts.get(pair, 0) + c
+        per_group: dict = {}
+        for (gkey, key), c in counts.items():
+            per_group.setdefault(gkey, []).append((key, c))
+        g_out, k_out, c_out = [], [], []
+        for gkey, items in per_group.items():
+            items.sort(key=lambda kv: (-kv[1], str(kv[0])))
+            for key, c in items[:cand_c]:
+                g_out.append(gkey)
+                k_out.append(key)
+                c_out.append(c)
+        if not k_out:
+            return
+        arrays = ([pa.array(g_out)] if group_cols else []) + \
+            [pa.array(k_out), pa.array(c_out, pa.int64())]
+        yield pa.RecordBatch.from_arrays(
+            arrays, names=group_cols + ["key", "local_count"])
 
-    candidates = (pruned.mapInPandas(local_candidates, schema=cand_schema)
+    candidates = (pruned.drop("__kh")
+                  .mapInArrow(local_candidates, schema=cand_schema)
                   .groupBy(*group_cols, "key")
                   .agg(F.sum("local_count").alias("cand_count"))
                   .withColumn("__kh", F.xxhash64(F.col("key"))))
