@@ -49,6 +49,55 @@ class SketchSpec(Protocol):
 Extractor = Callable[["pandas.DataFrame"], np.ndarray]  # noqa: F821
 
 
+def dict_encode_groups(batch, group_cols: list[str]):
+    """Dictionary-encode the group columns of one Arrow RecordBatch into
+    dense int64 codes — the shared grouping kernel for every Arrow-native
+    partial builder.
+
+    Returns ``(codes, keys)``: ``codes`` is an int64 ndarray (one entry per
+    batch row) with values in ``[0, len(keys))``; ``keys`` is a list of
+    group-key tuples (one per distinct group present in the batch).
+
+    Semantics match Spark ``groupBy``:
+    - NULL group values form their own group (``None`` in the key tuple) —
+      the indices array from ``dictionary_encode`` carries nulls, which
+      would otherwise round-trip through float64 NaN and crash
+      ``np.bincount``;
+    - composite (multi-column) keys are combined pairwise mixed-radix and
+      re-densified with ``np.unique`` after each combine, so intermediate
+      products stay < batch_rows**2 and never overflow int64.
+    """
+    import pyarrow as pa
+
+    if not group_cols:
+        return np.zeros(batch.num_rows, dtype=np.int64), [()]
+    per_col = []
+    for name in group_cols:
+        col = batch.column(name)
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        enc = col.dictionary_encode()
+        idx = enc.indices
+        vals = enc.dictionary.to_pylist()
+        if idx.null_count:
+            null_code = len(vals)
+            codes = (idx.fill_null(null_code)
+                     .to_numpy(zero_copy_only=False).astype(np.int64, copy=False))
+            vals = vals + [None]
+        else:
+            codes = idx.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        per_col.append((codes, vals))
+    codes, vals = per_col[0]
+    keys = [(v,) for v in vals]
+    for codes_i, vals_i in per_col[1:]:
+        comp = codes * np.int64(len(vals_i)) + codes_i
+        uniq, codes = np.unique(comp, return_inverse=True)
+        card = len(vals_i)
+        keys = [keys[int(u) // card] + (vals_i[int(u) % card],)
+                for u in uniq.tolist()]
+    return codes, keys
+
+
 def _partial_schema(df: DataFrame, group_cols: list[str]) -> str:
     fields = [f"`{f.name}` {f.dataType.simpleString()}"
               for f in df.schema.fields if f.name in group_cols]
@@ -106,8 +155,8 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
     ``mapInArrow`` skips the Arrow->pandas list-column conversion (which
     materializes one numpy object PER ROW) and flattens the ListArray
     zero-copy — 4-5x faster per core, within ~1.5x of the raw parquet scan.
-    Group columns must be string/int scalars; output schema matches
-    ``sketch_partials`` so the same merge stages apply.
+    Group keys (any arity, NULLs included) go through ``dict_encode_groups``;
+    output schema matches ``sketch_partials`` so the same merge stages apply.
     """
     import pyarrow as pa
     from pyspark import TaskContext
@@ -125,64 +174,57 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
         pid = TaskContext.get().partitionId()
         states: dict = {}
         counts: dict = {}
+        gtypes = None
         for batch in batches:
+            if gtypes is None:
+                gtypes = [batch.schema.field(c).type for c in group_cols]
             tok = batch.column(token_col)
             if isinstance(tok, pa.ChunkedArray):
                 tok = tok.combine_chunks()
             flat = tok.flatten().to_numpy(zero_copy_only=False)
             lengths = np.diff(tok.offsets.to_numpy(zero_copy_only=False))
-            if group_cols:
-                # dictionary-encode the (first) group column; composite keys
-                # fall back to the pandas builder
-                gcol = batch.column(group_cols[0])
-                if isinstance(gcol, pa.ChunkedArray):
-                    gcol = gcol.combine_chunks()
-                codes_arr = gcol.dictionary_encode()
-                codes = codes_arr.indices.to_numpy(zero_copy_only=False)
-                dictionary = codes_arr.dictionary.to_pylist()
-                value_groups = np.repeat(codes, lengths)
-                for g, gval in enumerate(dictionary):
-                    key = (gval,)
-                    if key not in states:
-                        states[key] = spec.new()
-                        counts[key] = [0, 0]
-                    counts[key][0] += int((codes == g).sum())
-                n_groups = len(dictionary)
-                for start in range(0, len(flat), CHUNK):
-                    sl = slice(start, start + CHUNK)
-                    hashed = splitmix64(flat[sl].astype(np.int64), seed=hash_seed)
-                    vg = value_groups[sl]
-                    # counting-sort separation: one stable argsort pass,
-                    # then each group's values are a contiguous view
-                    order = np.argsort(vg, kind="stable")
-                    hashed = hashed[order]
-                    bounds = np.zeros(n_groups + 1, dtype=np.int64)
-                    np.cumsum(np.bincount(vg, minlength=n_groups), out=bounds[1:])
-                    for g, gval in enumerate(dictionary):
-                        vals = hashed[bounds[g]:bounds[g + 1]]
-                        if len(vals) == 0:
-                            continue
-                        key = (gval,)
-                        spec.update(states[key], vals)
-                        counts[key][1] += len(vals)
-            else:
-                key = ()
+            codes, keys = dict_encode_groups(batch, group_cols)
+            n_groups = len(keys)
+            row_counts = np.bincount(codes, minlength=n_groups)
+            for g, key in enumerate(keys):
                 if key not in states:
                     states[key] = spec.new()
                     counts[key] = [0, 0]
-                st = states[key]
+                counts[key][0] += int(row_counts[g])
+            if n_groups <= 1:
+                # single group in this batch (incl. ungrouped): no sort pass
+                if n_groups == 0:
+                    continue
+                key, st = keys[0], states[keys[0]]
                 for start in range(0, len(flat), CHUNK):
                     hashed = splitmix64(flat[start:start + CHUNK].astype(np.int64),
                                         seed=hash_seed)
                     spec.update(st, hashed)
-                counts[key][0] += len(lengths)
                 counts[key][1] += len(flat)
+                continue
+            value_groups = np.repeat(codes, lengths)
+            for start in range(0, len(flat), CHUNK):
+                sl = slice(start, start + CHUNK)
+                hashed = splitmix64(flat[sl].astype(np.int64), seed=hash_seed)
+                vg = value_groups[sl]
+                # counting-sort separation: one stable argsort pass,
+                # then each group's values are a contiguous view
+                order = np.argsort(vg, kind="stable")
+                hashed = hashed[order]
+                bounds = np.zeros(n_groups + 1, dtype=np.int64)
+                np.cumsum(np.bincount(vg, minlength=n_groups), out=bounds[1:])
+                for g, key in enumerate(keys):
+                    vals = hashed[bounds[g]:bounds[g + 1]]
+                    if len(vals) == 0:
+                        continue
+                    spec.update(states[key], vals)
+                    counts[key][1] += len(vals)
         if not states:
             return
         keys = list(states)
         arrays, names = [], []
         for i, gcol in enumerate(group_cols):
-            arrays.append(pa.array([k[i] for k in keys]))
+            arrays.append(pa.array([k[i] for k in keys], type=gtypes[i]))
             names.append(gcol)
         arrays += [
             pa.array([pid % n_salts] * len(keys), pa.int32()),
@@ -194,8 +236,6 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
         names += ["salt", "state", "n_rows", "n_values", "partition_id"]
         yield pa.RecordBatch.from_arrays(arrays, names=names)
 
-    if len(group_cols) > 1:
-        raise ValueError("token_partials_arrow supports at most one group column")
     return pruned.mapInArrow(build, schema=out_schema)
 
 
@@ -231,12 +271,16 @@ def scalar_partials_arrow(df: DataFrame, group_cols: list[str], value_col: str,
     """Stage 1 for scalar value columns (pre-hashed int64 keys, or float64
     measures for quantile sketches), Arrow-native: skips the Arrow->pandas
     conversion entirely and groups via dictionary-encoded codes + counting
-    sort.  <=1 group column."""
+    sort.  Group keys of any arity (NULLs included) via dict_encode_groups.
+
+    NULL *values* are excluded from the sketch (countDistinct semantics)
+    but their groups still emit a state row — a group whose values are all
+    NULL reports an empty sketch, not a missing row.  The null mask is
+    applied via ``fill_null(0)`` + boolean select so int64 hashes never
+    round-trip through float64 (which would corrupt high bits)."""
     import pyarrow as pa
     from pyspark import TaskContext
 
-    if len(group_cols) > 1:
-        raise ValueError("scalar_partials_arrow supports at most one group column")
     out_schema = _partial_schema(df.select(*group_cols, value_col), group_cols)
     pruned = df.select(*group_cols, value_col)
 
@@ -244,50 +288,55 @@ def scalar_partials_arrow(df: DataFrame, group_cols: list[str], value_col: str,
         pid = TaskContext.get().partitionId()
         states: dict = {}
         counts: dict = {}
+        gtypes = None
         for batch in batches:
+            if gtypes is None:
+                gtypes = [batch.schema.field(c).type for c in group_cols]
             col = batch.column(value_col)
             if isinstance(col, pa.ChunkedArray):
                 col = col.combine_chunks()
-            values = col.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
-            if group_cols:
-                gcol = batch.column(group_cols[0])
-                if isinstance(gcol, pa.ChunkedArray):
-                    gcol = gcol.combine_chunks()
-                enc = gcol.dictionary_encode()
-                codes = enc.indices.to_numpy(zero_copy_only=False)
-                dictionary = enc.dictionary.to_pylist()
-                order = np.argsort(codes, kind="stable")
-                values = values[order]
-                bounds = np.zeros(len(dictionary) + 1, dtype=np.int64)
-                np.cumsum(np.bincount(codes, minlength=len(dictionary)),
-                          out=bounds[1:])
-                for g, gval in enumerate(dictionary):
-                    vals = values[bounds[g]:bounds[g + 1]]
-                    if len(vals) == 0:
-                        continue
-                    key = (gval,)
-                    st = states.get(key)
-                    if st is None:
-                        st = states[key] = spec.new()
-                        counts[key] = [0, 0]
-                    spec.update(st, vals)
-                    counts[key][0] += len(vals)
-                    counts[key][1] += len(vals)
+            if col.null_count:
+                vmask = col.is_valid().to_numpy(zero_copy_only=False)
+                values = (col.fill_null(0).to_numpy(zero_copy_only=False)
+                          .astype(dtype, copy=False))
             else:
-                key = ()
-                st = states.get(key)
-                if st is None:
-                    st = states[key] = spec.new()
+                vmask = None
+                values = col.to_numpy(zero_copy_only=False).astype(dtype, copy=False)
+            codes, keys = dict_encode_groups(batch, group_cols)
+            n_groups = len(keys)
+            if n_groups == 0:
+                continue
+            row_counts = np.bincount(codes, minlength=n_groups)
+            for g, key in enumerate(keys):
+                if key not in states:
+                    states[key] = spec.new()
                     counts[key] = [0, 0]
-                spec.update(st, values)
-                counts[key][0] += len(values)
-                counts[key][1] += len(values)
+                counts[key][0] += int(row_counts[g])
+            if vmask is not None:
+                values = values[vmask]
+                codes = codes[vmask]
+            if n_groups == 1:
+                key = keys[0]
+                if len(values):
+                    spec.update(states[key], values)
+                    counts[key][1] += len(values)
+                continue
+            order = np.argsort(codes, kind="stable")
+            values = values[order]
+            bounds = np.zeros(n_groups + 1, dtype=np.int64)
+            np.cumsum(np.bincount(codes, minlength=n_groups), out=bounds[1:])
+            for g, key in enumerate(keys):
+                vals = values[bounds[g]:bounds[g + 1]]
+                if len(vals) == 0:
+                    continue
+                spec.update(states[key], vals)
+                counts[key][1] += len(vals)
         if not states:
             return
         keys = list(states)
         arrays, names = [], []
         for i, gcol_name in enumerate(group_cols):
-            arrays.append(pa.array([k[i] for k in keys]))
+            arrays.append(pa.array([k[i] for k in keys], type=gtypes[i]))
             names.append(gcol_name)
         arrays += [
             pa.array([pid % n_salts] * len(keys), pa.int32()),

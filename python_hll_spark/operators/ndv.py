@@ -12,7 +12,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from python_hll_spark.functions.hashing import hash_tokens
-from python_hll_spark.operators.aggregate import sketch_global, sketch_groupby
 from python_hll_spark.sketches.hll import HLLConfig
 from python_hll_spark.sketches.specs import HLLSpec
 
@@ -35,24 +34,21 @@ def hll_ndv_tokens(df: DataFrame, by: list[str] | None = None,
                    cfg: HLLConfig | None = None, n_salts: int = 16) -> DataFrame:
     """Approx NDV of exploded ``tokens`` (optionally per group).
 
-    Uses the Arrow-native partial builder (zero-copy ListArray flatten) for
-    <=1 group column — the 100TB hot path; falls back to the pandas builder
-    for composite keys.  Returns (by..., ndv bigint, state binary)."""
+    Uses the Arrow-native partial builder (zero-copy ListArray flatten) —
+    the 100TB hot path — for any group-key arity (dict_encode_groups
+    composes composite/NULL keys batch-side).
+    Returns (by..., ndv bigint, state binary)."""
     from python_hll_spark.functions.sketch_funcs import hll_cardinality
     from python_hll_spark.operators.aggregate import merge_sketches, token_partials_arrow
 
     spec = HLLSpec(cfg or HLLConfig.create(11, 5))
     by = by or []
-    if len(by) <= 1:
-        partials = token_partials_arrow(df, by, "tokens", spec, n_salts=n_salts)
-        if by:
-            states = merge_sketches(partials, by, spec)
-        else:
-            states = merge_sketches(partials.withColumn("__g", F.lit(0)),
-                                    ["__g"], spec).drop("__g")
+    partials = token_partials_arrow(df, by, "tokens", spec, n_salts=n_salts)
+    if by:
+        states = merge_sketches(partials, by, spec)
     else:
-        states = sketch_groupby(df.select(*by, "tokens"), by, _tokens_extractor,
-                                spec, n_salts=n_salts)
+        states = merge_sketches(partials.withColumn("__g", F.lit(0)),
+                                ["__g"], spec).drop("__g")
     return states.withColumn("ndv", hll_cardinality(F.col("state")))
 
 
@@ -60,7 +56,14 @@ def hll_ndv_column(df: DataFrame, value_col: str, by: list[str] | None = None,
                    cfg: HLLConfig | None = None, n_salts: int = 16) -> DataFrame:
     """Approx NDV of an arbitrary column: values are hashed to int64 with
     JVM-side xxhash64 (codegen) before the Python boundary; the partial
-    build is Arrow-native for <=1 group column (pandas fallback otherwise).
+    build is Arrow-native for any group-key arity.
+
+    NULL values are excluded from the estimate (countDistinct semantics):
+    ``F.xxhash64(NULL)`` returns the seed constant (NOT null) and would
+    silently count nulls as one extra distinct value, so the hash is gated
+    with ``when(isNotNull)`` — the NULL survives to the Arrow builder,
+    which masks it out but still emits the group's state row (a group whose
+    values are all NULL reports ndv=0 instead of disappearing).
 
     Returns (by..., ndv bigint, state binary)."""
     from python_hll_spark.functions.sketch_funcs import hll_cardinality
@@ -69,15 +72,12 @@ def hll_ndv_column(df: DataFrame, value_col: str, by: list[str] | None = None,
 
     spec = HLLSpec(cfg or HLLConfig.create(11, 5))
     by = by or []
-    hashed = df.select(*by, F.xxhash64(F.col(value_col)).alias("__h"))
-    if len(by) <= 1:
-        partials = scalar_partials_arrow(hashed, by, "__h", spec, n_salts=n_salts)
-        if by:
-            states = merge_sketches(partials, by, spec)
-        else:
-            states = merge_sketches(partials.withColumn("__g", F.lit(0)),
-                                    ["__g"], spec).drop("__g")
+    hashed = df.select(*by, F.when(F.col(value_col).isNotNull(),
+                                   F.xxhash64(F.col(value_col))).alias("__h"))
+    partials = scalar_partials_arrow(hashed, by, "__h", spec, n_salts=n_salts)
+    if by:
+        states = merge_sketches(partials, by, spec)
     else:
-        states = sketch_groupby(hashed, by, _hashed_col_extractor("__h"),
-                                spec, n_salts=n_salts)
+        states = merge_sketches(partials.withColumn("__g", F.lit(0)),
+                                ["__g"], spec).drop("__g")
     return states.withColumn("ndv", hll_cardinality(F.col("state")))

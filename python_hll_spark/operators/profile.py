@@ -57,6 +57,8 @@ def token_profile(df: DataFrame, by: str = "source", token_col: str = "tokens",
     CHUNK = 131072  # keep int64 temps cache-resident (see aggregate.py)
 
     def build(batches):
+        from python_hll_spark.operators.aggregate import dict_encode_groups
+
         pid = TaskContext.get().partitionId()
         states: dict = {}   # gval -> {sketch_name: state}
         counts: dict = {}
@@ -70,24 +72,28 @@ def token_profile(df: DataFrame, by: str = "source", token_col: str = "tokens",
             if isinstance(n_toks, pa.ChunkedArray):
                 n_toks = n_toks.combine_chunks()
             n_toks = n_toks.to_numpy(zero_copy_only=False)
-            gcol = batch.column(by)
-            if isinstance(gcol, pa.ChunkedArray):
-                gcol = gcol.combine_chunks()
-            enc = gcol.dictionary_encode()
-            codes = enc.indices.to_numpy(zero_copy_only=False)
-            dictionary = enc.dictionary.to_pylist()
+            # null-safe dense group codes (NULL group = its own key,
+            # matching Spark groupBy semantics)
+            codes, keys = dict_encode_groups(batch, [by])
+            dictionary = [k[0] for k in keys]
             value_groups = np.repeat(codes, lengths)
-            # per-row sketches (KLL over n_tok) update once per batch
+            # per-row sketches (KLL over n_tok) update once per batch;
+            # counting-sort over row codes gives contiguous per-group rows
+            row_order = np.argsort(codes, kind="stable")
+            row_bounds = np.zeros(len(dictionary) + 1, dtype=np.int64)
+            np.cumsum(np.bincount(codes, minlength=len(dictionary)),
+                      out=row_bounds[1:])
+            n_sorted = n_toks[row_order]
             for g, gval in enumerate(dictionary):
-                row_sel = codes == g
                 group = states.get(gval)
                 if group is None:
                     group = states[gval] = {name: mk() for name, mk in makers.items()}
                     counts[gval] = [0, 0]
+                rows_g = n_sorted[row_bounds[g]:row_bounds[g + 1]]
                 for name, st in group.items():
                     if name.endswith("n_tok"):
-                        st.update(n_toks[row_sel].astype(np.float64))
-                counts[gval][0] += int(row_sel.sum())
+                        st.update(rows_g.astype(np.float64))
+                counts[gval][0] += len(rows_g)
             # token sketches update in cache-resident chunks; counting-sort
             # separation gives each group a contiguous zero-copy slice
             n_groups = len(dictionary)

@@ -40,17 +40,22 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
     cfg = cfg or CMSConfig(depth=5, width=65536)
     spec = CMSSpec(cfg)
     cand_c = max(candidates_per_task, 4 * k)
+    # SpaceSaving-style bounded summary: the per-(task, group) candidate
+    # structure never holds more than `cap` keys no matter how many distinct
+    # keys stream through the task — the 100 TB memory guarantee.  Truncation
+    # can only drop keys whose running count is below the cap'th largest, so
+    # true heavy hitters (the only keys that can reach the final top-k)
+    # always survive; their final counts come from the CMS anyway.
+    cap = 4 * cand_c
 
     pruned = df.select(*group_cols, F.col(key_col).alias("__key"),
                        F.xxhash64(F.col(key_col)).alias("__kh"))
     key_type = dict(pruned.dtypes)["__key"]
 
     # -- CMS partials + candidates, both Arrow-native ------------------------
-    from python_hll_spark.operators.aggregate import SplitmixSpec, scalar_partials_arrow
+    from python_hll_spark.operators.aggregate import (
+        SplitmixSpec, dict_encode_groups, scalar_partials_arrow)
 
-    if len(group_cols) > 1:
-        raise ValueError("cms_topk supports at most one group column; "
-                         "pre-combine composite keys into one column")
     partials = scalar_partials_arrow(pruned.drop("__key"), group_cols,
                                      "__kh", SplitmixSpec(spec))
     states = merge_sketches(partials, group_cols, spec)
@@ -60,46 +65,53 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
     cand_schema = ", ".join(group_fields + [f"key {key_type}", "local_count bigint"])
 
     def local_candidates(batches):
-        """Per-task exact local top-C via dictionary-encoded composite codes:
-        one bincount per Arrow batch, no per-row Python / pandas strings."""
+        """Per-task approximate local top-C via dictionary-encoded composite
+        codes: one sort-unique per Arrow batch, no per-row Python; each
+        group's summary is truncated to `cap` keys after every batch."""
         import pyarrow as pa
-        counts: dict = {}  # (gval, key) -> count
+        per_group: dict = {}  # gkey tuple -> {key: running count}
+        gtypes = ktype = None
         for batch in batches:
+            if gtypes is None:
+                gtypes = [batch.schema.field(c).type for c in group_cols]
+                ktype = batch.schema.field("__key").type
+            gcodes, gkeys = dict_encode_groups(batch, group_cols)
             kcol = batch.column("__key")
             if isinstance(kcol, pa.ChunkedArray):
                 kcol = kcol.combine_chunks()
             kenc = kcol.dictionary_encode()
-            kcodes = kenc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
+            kidx = kenc.indices
             kdict = kenc.dictionary.to_pylist()
-            if group_cols:
-                gcol = batch.column(group_cols[0])
-                if isinstance(gcol, pa.ChunkedArray):
-                    gcol = gcol.combine_chunks()
-                genc = gcol.dictionary_encode()
-                gcodes = genc.indices.to_numpy(zero_copy_only=False).astype(np.int64)
-                gdict = genc.dictionary.to_pylist()
+            if kidx.null_count:
+                kcodes = (kidx.fill_null(len(kdict))
+                          .to_numpy(zero_copy_only=False).astype(np.int64))
+                kdict = kdict + [None]
             else:
-                gcodes, gdict = np.zeros(len(kcodes), dtype=np.int64), [None]
-            comp = gcodes * len(kdict) + kcodes
-            cnt = np.bincount(comp, minlength=len(gdict) * len(kdict))
-            nz = np.nonzero(cnt)[0]
-            for code, c in zip(nz.tolist(), cnt[nz].tolist()):
-                pair = (gdict[code // len(kdict)], kdict[code % len(kdict)])
-                counts[pair] = counts.get(pair, 0) + c
-        per_group: dict = {}
-        for (gkey, key), c in counts.items():
-            per_group.setdefault(gkey, []).append((key, c))
+                kcodes = kidx.to_numpy(zero_copy_only=False).astype(np.int64)
+            comp = gcodes * np.int64(len(kdict)) + kcodes
+            uniq, cnts = np.unique(comp, return_counts=True)
+            card = len(kdict)
+            for code, c in zip(uniq.tolist(), cnts.tolist()):
+                gkey = gkeys[code // card]
+                key = kdict[code % card]
+                d = per_group.setdefault(gkey, {})
+                d[key] = d.get(key, 0) + c
+            for gkey, d in per_group.items():
+                if len(d) > cap:
+                    keep = sorted(d.items(), key=lambda kv: (-kv[1], str(kv[0])))[:cap]
+                    per_group[gkey] = dict(keep)
         g_out, k_out, c_out = [], [], []
-        for gkey, items in per_group.items():
-            items.sort(key=lambda kv: (-kv[1], str(kv[0])))
+        for gkey, d in per_group.items():
+            items = sorted(d.items(), key=lambda kv: (-kv[1], str(kv[0])))
             for key, c in items[:cand_c]:
                 g_out.append(gkey)
                 k_out.append(key)
                 c_out.append(c)
         if not k_out:
             return
-        arrays = ([pa.array(g_out)] if group_cols else []) + \
-            [pa.array(k_out), pa.array(c_out, pa.int64())]
+        arrays = [pa.array([g[i] for g in g_out], type=gtypes[i])
+                  for i in range(len(group_cols))]
+        arrays += [pa.array(k_out, type=ktype), pa.array(c_out, pa.int64())]
         yield pa.RecordBatch.from_arrays(
             arrays, names=group_cols + ["key", "local_count"])
 
@@ -122,8 +134,20 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
             out[sub.index.to_numpy()] = est
         return pd.Series(out)
 
-    joined = candidates.join(F.broadcast(states.select(*group_cols, "state")),
-                             on=group_cols, how="inner")
+    # null-safe equi-join: NULL group values are valid groups (Spark groupBy
+    # semantics) and must still match their CMS state row
+    cand = candidates.alias("cand")
+    st = F.broadcast(states.select(*group_cols, "state")).alias("st")
+    if group_cols:
+        cond = None
+        for c in group_cols:
+            clause = F.col(f"cand.{c}").eqNullSafe(F.col(f"st.{c}"))
+            cond = clause if cond is None else (cond & clause)
+        joined = cand.join(st, on=cond, how="inner").select(
+            *[F.col(f"cand.{c}").alias(c) for c in group_cols],
+            "cand.key", "cand.cand_count", "cand.__kh", "st.state")
+    else:
+        joined = cand.crossJoin(st)
     estimated = joined.withColumn("est_count",
                                   cms_estimate(F.col("state"), F.col("__kh")))
 
