@@ -42,18 +42,21 @@ def _norm_words(col):
 # --------------------------------------------------------------------------
 # HLL NDV bound checks
 # --------------------------------------------------------------------------
-def _hll_bound_check(df: DataFrame, value_col, group_col: str) -> DataFrame:
+def _hll_bound_check(df: DataFrame, value_col, group_cols,
+                     hasher: str = "xxhash64") -> DataFrame:
     from python_hll_spark.operators.ndv import hll_ndv_column
     from python_hll_spark.sketches.hll import HLLConfig
 
+    if isinstance(group_cols, str):
+        group_cols = [group_cols]
     cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
-    est = hll_ndv_column(df, value_col, by=[group_col], cfg=cfg) \
-        .select(group_col, "ndv")
-    exact = df.groupBy(group_col).agg(
+    est = hll_ndv_column(df, value_col, by=group_cols, cfg=cfg,
+                         hasher=hasher).select(*group_cols, "ndv")
+    exact = df.groupBy(*group_cols).agg(
         F.countDistinct(value_col).alias("exact_ndv"))
     tol = HLL_TOL * cfg.error_bound
-    return (exact.join(est, group_col)
-            .select(group_col, "exact_ndv",
+    return (exact.join(est, group_cols)
+            .select(*group_cols, "exact_ndv",
                     (F.abs(F.col("ndv") - F.col("exact_ndv"))
                      <= tol * F.col("exact_ndv")).alias("hll_ok")))
 
@@ -70,6 +73,22 @@ def q_hll_ndv_words_by_source(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents")
     words = docs.select("source", F.explode(_norm_words(F.col("text"))).alias("w"))
     return _hll_bound_check(words, "w", "source")
+
+
+def q_hll_ndv_users_by_type_day(spark, sf_dir):
+    """Composite (2-column) group key on the Arrow-native scalar builder —
+    the day-one real-user shape (source x date)."""
+    events = _read(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    return _hll_bound_check(events, "user_id", ["event_type", "day"])
+
+
+def q_hll_ndv_murmur3_interop(spark, sf_dir):
+    """Reference-ecosystem interop tier: NDV per source with mmh3-compatible
+    MurmurHash3 x64_128 hashing (the hash java-hll/postgresql-hll callers
+    use), so these sketches can be unioned with theirs.  Bound-checked."""
+    docs = _read(spark, sf_dir, "documents")
+    return _hll_bound_check(docs, "doc_id", "source", hasher="murmur3")
 
 
 def q_hll_sketch_hex_by_source(spark, sf_dir):
@@ -429,6 +448,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv_users_by_event_type": q_hll_ndv_users_by_event_type,
         "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
         "hll_ndv_words_by_source": q_hll_ndv_words_by_source,
+        "hll_ndv_users_by_type_day": q_hll_ndv_users_by_type_day,
+        "hll_ndv_murmur3_interop": q_hll_ndv_murmur3_interop,
         "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
         "hll_rollup_union": q_hll_rollup_union,
         "hll_ndv_hourly_events": q_hll_ndv_hourly_events,
@@ -472,6 +493,15 @@ def oracle_sql() -> dict[str, str]:
                        FROM documents)
             SELECT source, COUNT(DISTINCT w) AS exact_ndv, TRUE AS hll_ok
             FROM w GROUP BY source
+        """,
+        "hll_ndv_users_by_type_day": """
+            SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   COUNT(DISTINCT user_id) AS exact_ndv, TRUE AS hll_ok
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        """,
+        "hll_ndv_murmur3_interop": """
+            SELECT source, COUNT(DISTINCT doc_id) AS exact_ndv, TRUE AS hll_ok
+            FROM documents GROUP BY source
         """,
         "hll_rollup_union": """
             SELECT COUNT(DISTINCT user_id) AS exact_ndv,

@@ -25,6 +25,7 @@ never leave this engine.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd  # noqa: F401  (pandas_udf stringified hints resolve here)
 
 _M = (1 << 64) - 1
 _C1 = 0x87C37B91114253D5
@@ -161,10 +162,13 @@ def murmur3_x64_128_buffers(data: np.ndarray, offsets: np.ndarray,
     tail_start = starts + 16 * nblocks
     tail_len = lengths - 16 * nblocks
     pos = np.arange(16, dtype=np.int64)
-    idx = tail_start[:, None] + pos[None, :]
-    mask = pos[None, :] < tail_len[:, None]
-    np.clip(idx, 0, len(data) - 1 if len(data) else 0, out=idx)
-    tail = np.where(mask, data[idx], 0).astype(np.uint8)
+    if len(data):
+        idx = tail_start[:, None] + pos[None, :]
+        mask = pos[None, :] < tail_len[:, None]
+        np.clip(idx, 0, len(data) - 1, out=idx)
+        tail = np.where(mask, data[idx], 0).astype(np.uint8)
+    else:  # every string empty -> all-zero tails (XOR-identity mixes)
+        tail = np.zeros((n, 16), dtype=np.uint8)
     k1 = np.ascontiguousarray(tail[:, :8]).view(np.uint64).ravel()
     k2 = np.ascontiguousarray(tail[:, 8:]).view(np.uint64).ravel()
     h2 ^= _mix_k2(k2)   # zero k2 mixes to zero -> XOR no-op for short tails
@@ -216,7 +220,11 @@ def murmur3_64_udf():
 
     @F.pandas_udf(LongType())
     def _udf(s: pd.Series) -> pd.Series:
-        arr = pa.Array.from_pandas(s.astype(str))
-        return pd.Series(murmur3_64(arr))
+        mask = s.notna().to_numpy()
+        out = pd.array([None] * len(s), dtype="Int64")
+        if mask.any():
+            arr = pa.array(s[mask].astype(str))
+            out[np.nonzero(mask)[0]] = murmur3_64(arr)
+        return pd.Series(out, dtype="Int64")
 
     return _udf

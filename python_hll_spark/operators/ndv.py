@@ -53,10 +53,19 @@ def hll_ndv_tokens(df: DataFrame, by: list[str] | None = None,
 
 
 def hll_ndv_column(df: DataFrame, value_col: str, by: list[str] | None = None,
-                   cfg: HLLConfig | None = None, n_salts: int = 16) -> DataFrame:
+                   cfg: HLLConfig | None = None, n_salts: int = 16,
+                   hasher: str = "xxhash64") -> DataFrame:
     """Approx NDV of an arbitrary column: values are hashed to int64 with
     JVM-side xxhash64 (codegen) before the Python boundary; the partial
     build is Arrow-native for any group-key arity.
+
+    ``hasher="murmur3"`` hashes with mmh3-compatible MurmurHash3 x64_128
+    (first 64 bits, vectorized pandas UDF) instead — the reference
+    ecosystem's hash contract (reference README.rst:44-49, hll.py:226-230):
+    the resulting sketches can be semantically UNIONED with sketches built
+    by java-hll / postgresql-hll / mmh3 callers from the same strings,
+    at the cost of a Python hashing stage in the scan. Default stays
+    xxhash64 (pure JVM) for sketches that never leave this engine.
 
     NULL values are excluded from the estimate (countDistinct semantics):
     ``F.xxhash64(NULL)`` returns the seed constant (NOT null) and would
@@ -72,8 +81,15 @@ def hll_ndv_column(df: DataFrame, value_col: str, by: list[str] | None = None,
 
     spec = HLLSpec(cfg or HLLConfig.create(11, 5))
     by = by or []
-    hashed = df.select(*by, F.when(F.col(value_col).isNotNull(),
-                                   F.xxhash64(F.col(value_col))).alias("__h"))
+    if hasher == "murmur3":
+        from python_hll_spark.functions.murmur3 import murmur3_64_udf
+        hash_expr = murmur3_64_udf()(F.col(value_col).cast("string"))
+    elif hasher == "xxhash64":
+        hash_expr = F.when(F.col(value_col).isNotNull(),
+                           F.xxhash64(F.col(value_col)))
+    else:
+        raise ValueError(f"unknown hasher {hasher!r}; use 'xxhash64' or 'murmur3'")
+    hashed = df.select(*by, hash_expr.alias("__h"))
     partials = scalar_partials_arrow(hashed, by, "__h", spec, n_salts=n_salts)
     if by:
         states = merge_sketches(partials, by, spec)
