@@ -70,9 +70,27 @@ def q_hll_ndv_parts_by_returnflag(spark, sf_dir):
 
 
 def q_hll_ndv_words_by_source(spark, sf_dir):
+    """Explode-free estimate path: words are hashed INSIDE the array with
+    JVM-codegen xxhash64 (transform), so the sketch build never pays the
+    explode row expansion — only the exact-count check machinery does."""
+    from python_hll_spark.operators.ndv import hll_ndv_tokens
+    from python_hll_spark.sketches.hll import HLLConfig
+
     docs = _read(spark, sf_dir, "documents")
-    words = docs.select("source", F.explode(_norm_words(F.col("text"))).alias("w"))
-    return _hll_bound_check(words, "w", "source")
+    cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
+    hashed = docs.select(
+        "source",
+        F.transform(_norm_words(F.col("text")),
+                    lambda w: F.xxhash64(w)).alias("tokens"))
+    est = hll_ndv_tokens(hashed, by=["source"], cfg=cfg).select("source", "ndv")
+    exact = (docs.select("source",
+                         F.explode(_norm_words(F.col("text"))).alias("w"))
+             .groupBy("source").agg(F.countDistinct("w").alias("exact_ndv")))
+    tol = HLL_TOL * cfg.error_bound
+    return (exact.join(est, "source")
+            .select("source", "exact_ndv",
+                    (F.abs(F.col("ndv") - F.col("exact_ndv"))
+                     <= tol * F.col("exact_ndv")).alias("hll_ok")))
 
 
 def q_hll_ndv_users_by_type_day(spark, sf_dir):

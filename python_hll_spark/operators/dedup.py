@@ -87,42 +87,85 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
     return shingled.mapInArrow(compute, schema=f"`{id_col}` {id_type}, sig array<bigint>")
 
 
+_EMPTY_SIG_SENTINEL = np.iinfo(np.int64).max
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
-                        id_col: str = "doc_id") -> DataFrame:
+                        id_col: str = "doc_id",
+                        max_bucket: int = 512) -> DataFrame:
     """Band the signatures and self-join buckets -> (id_a, id_b, est_jaccard).
 
-    est_jaccard = fraction of matching signature positions."""
-    num_hashes = None  # derived per row; bands must divide it
+    est_jaccard = fraction of matching signature positions.
+
+    Scale hardening (the two ways banded LSH melts down at 100 TB):
+    - docs with zero shingles keep the int64-max sentinel in every
+      signature slot, so they'd all share every band key and pile into ONE
+      bucket whose self-join emits O(E^2) pairs — they're dropped before
+      banding (an empty doc has no meaningful Jaccard neighbours);
+    - buckets larger than ``max_bucket`` switch from full pairwise
+      expansion (O(B^2) pairs) to a star against the bucket's min id
+      (O(B) pairs): connected-components connectivity survives, the
+      quadratic blowup doesn't.  Real near-dup buckets are tiny; oversize
+      buckets are hash-collision floods or exact-dup clusters, and exact
+      dups should be removed by dedup_exact first anyway.
+    """
 
     def band_rows(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
+        import pyarrow as pa
+        for batch in batches:
+            sig = batch.column("sig")
+            if isinstance(sig, pa.ChunkedArray):
+                sig = sig.combine_chunks()
+            n = len(sig)
+            if n == 0:
                 continue
-            sig_mat = np.stack([np.asarray(s, dtype=np.int64) for s in pdf["sig"]])
-            n, K = sig_mat.shape
+            flat = sig.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            K = len(flat) // n
+            sig_mat = flat.reshape(n, K)
+            keep = ~(sig_mat == _EMPTY_SIG_SENTINEL).all(axis=1)
+            if not keep.any():
+                continue
+            sig_mat = sig_mat[keep]
+            n2 = len(sig_mat)
             r = K // bands
-            keys = np.empty((n, bands), dtype=np.int64)
+            keys = np.empty((n2, bands), dtype=np.int64)
             for b in range(bands):
                 chunk = sig_mat[:, b * r:(b + 1) * r]
-                hashed = splitmix64(chunk.ravel(), seed=b).reshape(n, r)
+                hashed = splitmix64(np.ascontiguousarray(chunk).ravel(),
+                                    seed=b).reshape(n2, r)
                 keys[:, b] = hashed.view(np.uint64).sum(axis=1).view(np.int64)
-            yield pd.DataFrame({
-                id_col: np.repeat(pdf[id_col].to_numpy(), bands),
-                "band": np.tile(np.arange(bands, dtype=np.int32), n),
-                "band_key": keys.ravel(),
-            })
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            take_idx = np.repeat(np.nonzero(keep)[0], bands)
+            yield pa.RecordBatch.from_arrays([
+                ids.take(pa.array(take_idx)),
+                pa.array(np.tile(np.arange(bands, dtype=np.int32), n2)),
+                pa.array(keys.ravel()),
+            ], names=[id_col, "band", "band_key"])
 
     id_type = dict(sig_df.dtypes)[id_col]
-    banded = sig_df.mapInPandas(
+    banded = sig_df.mapInArrow(
         band_rows, schema=f"`{id_col}` {id_type}, band int, band_key bigint")
 
-    a = banded.alias("a")
-    b = banded.alias("b")
-    pairs = (a.join(b, on=["band", "band_key"])
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"))
-             .distinct())
+    # bucket sizes + representative: one aggregation on the same join key
+    # the self-join shuffles on (AQE reuses the exchange)
+    sizes = (banded.groupBy("band", "band_key")
+             .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
+    tagged = banded.join(sizes, ["band", "band_key"])
+    small = tagged.where(F.col("__bsz") <= max_bucket) \
+        .select("band", "band_key", id_col)
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (a.join(b, on=["band", "band_key"])
+                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   .select(F.col(f"a.{id_col}").alias("id_a"),
+                           F.col(f"b.{id_col}").alias("id_b")))
+    pairs_large = (tagged.where((F.col("__bsz") > max_bucket)
+                                & (F.col(id_col) != F.col("__rep")))
+                   .select(F.col("__rep").alias("id_a"),
+                           F.col(id_col).alias("id_b")))
+    pairs = pairs_small.unionByName(pairs_large).distinct()
 
     sig_a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
@@ -135,49 +178,98 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                         num_hashes: int = 128, bands: int = 32,
-                        threshold: float = 0.8, id_col: str = "doc_id") -> DataFrame:
-    # signatures are read 3x downstream (banding + both join sides) and are
-    # tiny (n_docs x num_hashes int64): persist instead of recomputing the
-    # shingle+minhash pipeline per consumer
-    sigs = minhash_signatures(df, text_col, n, num_hashes, id_col).persist()
-    return (lsh_candidate_pairs(sigs, bands, id_col)
+                        threshold: float = 0.8, id_col: str = "doc_id",
+                        sigs: DataFrame | None = None,
+                        max_bucket: int = 512) -> DataFrame:
+    """Near-dup candidate pairs above ``threshold`` estimated Jaccard.
+
+    Signatures are read 3x downstream (banding + both join sides) and are
+    tiny (n_docs x num_hashes int64), so they're persisted rather than
+    recomputing the shingle+minhash pipeline per consumer.  Pass ``sigs``
+    (a persisted ``minhash_signatures`` frame) to own the cache lifecycle —
+    ``near_dedup`` does, and unpersists once components are resolved."""
+    if sigs is None:
+        sigs = minhash_signatures(df, text_col, n, num_hashes, id_col).persist()
+    return (lsh_candidate_pairs(sigs, bands, id_col, max_bucket=max_bucket)
             .where(F.col("est_jaccard") >= threshold))
 
 
 # ---------------------------------------------------------------- SimHash
 def simhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash bigint): 64-bit sign-sum fingerprint over word hashes."""
+    """(id, simhash bigint): 64-bit sign-sum fingerprint over word hashes.
+
+    Arrow-native, no per-row Python: word-hash lists flatten zero-copy,
+    ``np.unpackbits`` over the little-endian byte view yields the (words,
+    64) bit matrix for a whole chunk at once, and ``np.add.reduceat`` at
+    doc boundaries gives per-doc bit-vote sums; signatures re-assemble with
+    ``np.packbits``.  Chunked at doc boundaries so the bit matrix stays
+    ~8 MB regardless of batch size."""
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     hashed = df.select(F.col(id_col),
                        F.transform(words, lambda w: F.xxhash64(w)).alias("wh"))
 
+    CHUNK_WORDS = 131072  # 64-wide uint8 bit matrix ~8MB per chunk
+
     def compute(batches):
-        for pdf in batches:
-            out = np.empty(len(pdf), dtype=np.int64)
-            for i, arr in enumerate(pdf["wh"]):
-                h = np.asarray(arr, dtype=np.int64).view(np.uint64)
-                if len(h) == 0:
-                    out[i] = 0
-                    continue
-                bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
-                        & np.uint64(1)).astype(np.int64)
-                votes = (2 * bits - 1).sum(axis=0)
-                sig = np.uint64(0)
-                for bit in np.nonzero(votes > 0)[0]:
-                    sig |= np.uint64(1) << np.uint64(bit)
-                out[i] = np.int64(sig.astype(np.int64))
-            yield pd.DataFrame({id_col: pdf[id_col], "simhash": out})
+        import pyarrow as pa
+        for batch in batches:
+            wh = batch.column("wh")
+            if isinstance(wh, pa.ChunkedArray):
+                wh = wh.combine_chunks()
+            n = len(wh)
+            if n == 0:
+                continue
+            all_offsets = wh.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            base = all_offsets[0]
+            offsets = all_offsets - base          # n+1 doc boundaries into flat
+            flat = wh.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            lengths = np.diff(offsets)
+            out = np.zeros(n, dtype=np.int64)
+            # chunk over DOCS such that each chunk holds <= CHUNK_WORDS words
+            doc_start = 0
+            while doc_start < n:
+                doc_end = int(np.searchsorted(
+                    offsets, offsets[doc_start] + CHUNK_WORDS, side="left"))
+                doc_end = max(doc_end - 1, doc_start + 1)
+                doc_end = min(doc_end, n)
+                lo, hi = offsets[doc_start], offsets[doc_end]
+                seg = flat[lo:hi]
+                seg_lengths = lengths[doc_start:doc_end]
+                nonempty = seg_lengths > 0
+                if seg.size and nonempty.any():
+                    bits = np.unpackbits(
+                        seg.view(np.uint8).reshape(-1, 8), axis=1,
+                        bitorder="little").reshape(-1, 64)
+                    starts = (offsets[doc_start:doc_end][nonempty] - lo)
+                    sums = np.add.reduceat(bits.astype(np.int64), starts, axis=0)
+                    votes = 2 * sums - seg_lengths[nonempty][:, None]
+                    sigs = np.packbits(votes > 0, axis=1, bitorder="little") \
+                        .view(np.int64).ravel()
+                    idx = np.arange(doc_start, doc_end)[nonempty]
+                    out[idx] = sigs
+                doc_start = doc_end
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(out)], names=[id_col, "simhash"])
 
     id_type = dict(df.dtypes)[id_col]
-    return hashed.mapInPandas(compute, schema=f"`{id_col}` {id_type}, simhash bigint")
+    return hashed.mapInArrow(compute, schema=f"`{id_col}` {id_type}, simhash bigint")
 
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3,
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       sigs: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed on 16-bit chunks
-    (two of four chunks must match exactly when distance <= 3)."""
-    sigs = simhash_signatures(df, text_col, id_col).cache()
+    (two of four chunks must match exactly when distance <= 3).
+
+    Pass a persisted ``sigs`` frame to own the cache lifecycle (the default
+    cache lives until the session drops it)."""
+    if sigs is None:
+        sigs = simhash_signatures(df, text_col, id_col).cache()
     chunks = sigs.select(
         id_col, "simhash",
         F.explode(F.array(*[
@@ -201,40 +293,67 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
 
 
 # ------------------------------------------ duplicate-cluster resolution
-def connected_components(edges: DataFrame, max_iter: int = 20) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 20,
+                         on_nonconverged: str = "warn") -> DataFrame:
     """Connected components of an undirected (id_a, id_b) edge list via
     iterative min-label propagation — pure DataFrame joins, so Catalyst/AQE
     handle the shuffles and it scales with the cluster (no driver graphs).
 
     Returns (id, component) where component is the min member id.
     Converges in O(diameter) iterations; duplicate clusters are tiny, so
-    a handful of iterations suffice (checkpointed via localCheckpoint to
-    keep lineage bounded)."""
-    both = (edges.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
-            .unionByName(edges.select(F.col("id_b").alias("node"),
-                                      F.col("id_a").alias("nbr")))
-            .localCheckpoint(eager=True))
-    labels = (both.select("node").distinct()
-              .withColumn("component", F.col("node"))
-              .localCheckpoint(eager=True))
+    a handful of iterations suffice.
+
+    100 TB shape: each iteration is ONE action — the changed-label flag is
+    computed inside the update projection and summed over the checkpointed
+    result, instead of re-joining old and new labels (which doubled the
+    per-iteration work).  Checkpoints are RELIABLE (``sc.setCheckpointDir``,
+    set by plans.session.get_spark) so a multi-hour run survives executor
+    loss; if no checkpoint dir is configured the code falls back to
+    ``localCheckpoint`` (executor-storage lineage, fine for test scale).
+    ``on_nonconverged``: "warn" (default), "raise", or "ignore" when labels
+    are still changing after max_iter."""
+    import warnings
+
+    sc = edges.sparkSession.sparkContext
+    reliable = sc.getCheckpointDir() is not None
+
+    def chk(df: DataFrame) -> DataFrame:
+        return df.checkpoint(eager=True) if reliable \
+            else df.localCheckpoint(eager=True)
+
+    both = chk(edges.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
+               .unionByName(edges.select(F.col("id_b").alias("node"),
+                                         F.col("id_a").alias("nbr"))))
+    labels = chk(both.select("node").distinct()
+                 .withColumn("component", F.col("node")))
+    changed = None
     for _ in range(max_iter):
         nbr_labels = labels.select(F.col("node").alias("nbr"),
                                    F.col("component").alias("nbr_component"))
         neighbor_min = (both.join(nbr_labels, "nbr")
                         .groupBy("node")
                         .agg(F.min("nbr_component").alias("nbr_min")))
-        updated = (labels.join(neighbor_min, "node", "left")
-                   .select("node",
-                           F.least(F.col("component"),
-                                   F.coalesce(F.col("nbr_min"), F.col("component")))
-                           .alias("component"))
-                   .localCheckpoint(eager=True))
-        changed = (updated.withColumnRenamed("component", "new_component")
-                   .join(labels, "node")
-                   .where(F.col("new_component") != F.col("component")).count())
-        labels = updated
+        updated = chk(
+            labels.join(neighbor_min, "node", "left")
+            .select("node",
+                    F.least(F.col("component"),
+                            F.coalesce(F.col("nbr_min"), F.col("component")))
+                    .alias("component"),
+                    (F.coalesce(F.col("nbr_min"), F.col("component"))
+                     < F.col("component")).cast("long").alias("__changed")))
+        changed = updated.agg(F.sum("__changed")).collect()[0][0] or 0
+        labels = updated.drop("__changed")
         if changed == 0:
             break
+    if changed:
+        msg = (f"connected_components did not converge in {max_iter} "
+               f"iterations ({changed} labels still changing); increase "
+               "max_iter — components wider than max_iter hops keep "
+               "multiple labels")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=2)
     return labels.select(F.col("node").alias("id"), "component")
 
 
@@ -245,9 +364,13 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     components -> keep the min-id representative per duplicate cluster.
 
     Returns the deduplicated rows of ``df`` (all original columns)."""
+    sigs = minhash_signatures(df, text_col, n, num_hashes, id_col).persist()
     pairs = minhash_dedup_pairs(df, text_col, n, num_hashes, bands, threshold,
-                                id_col).select("id_a", "id_b")
+                                id_col, sigs=sigs).select("id_a", "id_b")
+    # connected_components materializes the edge list eagerly (checkpoint +
+    # per-iteration action), so the signature cache can be released here
     comps = connected_components(pairs)
+    sigs.unpersist()
     keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
     drop_ids = (comps.join(keep, "component")
                 .where(F.col("id") != F.col("keep_id"))

@@ -41,29 +41,43 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
     """Returns (clean_df, metrics dict).  clean_df keeps the original
     columns plus the computed quality/lang columns."""
     cfg = cfg or CorpusFilterConfig()
-    metrics: dict = {"rows_in": df.count()}
+
+    # Single-scan metrics: rows_in and rows_after_quality both come from ONE
+    # pass over the scored frame (observe() metrics piggyback on the action
+    # that materializes the persisted exact-dedup output), so the 100 TB
+    # scan + regex stats run exactly once — not once per metric.
+    from pyspark.sql import Observation
 
     scored = with_text_stats(df, text_col)
-    filtered = scored.where(
-        (F.col("quality") >= cfg.min_quality)
-        & (F.col("n_words") >= cfg.min_words)
-        & (F.col("n_words") <= cfg.max_words)
-        & (F.col("lang_pred").isin(*cfg.allowed_langs)))
-    metrics["rows_after_quality"] = filtered.count()
+    keep_pred = ((F.col("quality") >= cfg.min_quality)
+                 & (F.col("n_words") >= cfg.min_words)
+                 & (F.col("n_words") <= cfg.max_words)
+                 & (F.col("lang_pred").isin(*cfg.allowed_langs)))
+    obs = Observation("corpus_in")
+    observed = scored.observe(
+        obs, F.count(F.lit(1)).alias("rows_in"),
+        F.sum(keep_pred.cast("long")).alias("rows_after_quality"))
+    filtered = observed.where(keep_pred)
 
     # exact dedup: keep min-id representative per fingerprint
     w_rank = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.asc(id_col)))
     exact_unique = (filtered.withColumn("__rn", w_rank)
-                    .where(F.col("__rn") == 1).drop("__rn"))
-    metrics["rows_after_exact_dedup"] = exact_unique.count()
+                    .where(F.col("__rn") == 1).drop("__rn")
+                    .persist())
+    metrics: dict = {"rows_after_exact_dedup": exact_unique.count()}
+    metrics["rows_in"] = int(obs.get["rows_in"])
+    metrics["rows_after_quality"] = int(obs.get["rows_after_quality"] or 0)
 
     if cfg.run_near_dedup:
         clean = near_dedup(exact_unique, text_col=text_col, id_col=id_col,
                            threshold=cfg.near_dup_threshold,
                            num_hashes=cfg.minhash_hashes,
-                           bands=cfg.minhash_bands)
+                           bands=cfg.minhash_bands).persist()
         metrics["rows_after_near_dedup"] = clean.count()
+        # clean is materialized in its own cache; the heavier pre-near-dedup
+        # cache can go.  Callers unpersist clean when they're done with it.
+        exact_unique.unpersist()
     else:
         clean = exact_unique
     metrics["rows_out"] = metrics.get("rows_after_near_dedup",

@@ -33,7 +33,8 @@ DEFAULT_CONF = {
 
 def get_spark(app_name: str = "python-hll-spark", master: str | None = None,
               shuffle_partitions: int | None = None,
-              extra_conf: dict | None = None) -> SparkSession:
+              extra_conf: dict | None = None,
+              checkpoint_dir: str | None = None) -> SparkSession:
     builder = SparkSession.builder.appName(app_name)
     if master is None:
         master = os.environ.get("SPARK_GRAFT_MASTER")
@@ -46,4 +47,14 @@ def get_spark(app_name: str = "python-hll-spark", master: str | None = None,
         conf.update(extra_conf)
     for k, v in conf.items():
         builder = builder.config(k, v)
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Reliable checkpoint location for iterative algorithms (connected
+    # components): survives executor loss, unlike localCheckpoint.  On a
+    # real cluster point SPARK_GRAFT_CHECKPOINT_DIR at HDFS/S3.
+    if spark.sparkContext.getCheckpointDir() is None:
+        ckpt = (checkpoint_dir
+                or os.environ.get("SPARK_GRAFT_CHECKPOINT_DIR")
+                or os.path.join(os.environ.get("TMPDIR", "/tmp"),
+                                "spark_graft_checkpoints"))
+        spark.sparkContext.setCheckpointDir(ckpt)
+    return spark

@@ -7,15 +7,20 @@ this module so an Iceberg catalog can be swapped in via --packages):
 
 - the input is processed as CHUNKS of input files (one Spark job per chunk,
   one extra scan of nothing: each file is read exactly once overall);
-- each chunk appends its partial-sketch rows (with chunk_id, partition_id,
-  n_rows, n_values lineage columns) to ``<root>/partials`` and then commits
-  a manifest entry ``<root>/_manifest/chunk_<id>.json`` via atomic rename —
-  the parquet append is only trusted if its manifest entry exists;
-- resume = list the manifest, skip committed chunks, re-run the rest (safe
-  because uncommitted partial files are filtered out on read via the
-  chunk_id allowlist);
-- finalize = read committed partials, salted tree-merge (same path as the
-  non-checkpointed build).
+- each chunk OVERWRITES its own partition directory
+  ``<root>/partials/chunk_id=<id>`` with partial-sketch rows (partition_id,
+  n_rows, n_values lineage columns) and then commits a manifest entry
+  ``<root>/_manifest/chunk_<id>.json`` via atomic rename — the parquet
+  write is only trusted if its manifest entry exists;
+- resume = list the manifest, skip committed chunks, re-run the rest.
+  A crash after the parquet job commits but before the manifest rename is
+  safe: the retry *overwrites* the same chunk directory, so the chunk's
+  rows exist exactly once (an append layout would double-count the chunk's
+  CMS/KLL/t-digest states and n_rows lineage — HLL survives double-union
+  by idempotence, the others don't);
+- finalize = read ONLY the committed chunk directories (uncommitted or
+  half-written directories are never listed, let alone filtered), salted
+  tree-merge (same path as the non-checkpointed build).
 """
 
 from __future__ import annotations
@@ -74,12 +79,14 @@ class SketchCheckpoint:
                 continue
             t0 = time.time()
             df = reader(spark, files)
-            partials = (sketch_partials(df, group_cols, extractor, spec)
-                        .withColumn("chunk_id", F.lit(cid)))
-            partials.write.mode("append").parquet(self.partials_dir)
+            partials = sketch_partials(df, group_cols, extractor, spec)
+            # idempotent retry: the chunk's directory is replaced wholesale,
+            # so a crash between parquet commit and manifest rename cannot
+            # leave two copies of the chunk's rows
+            chunk_dir = os.path.join(self.partials_dir, f"chunk_id={cid}")
+            partials.write.mode("overwrite").parquet(chunk_dir)
             # lineage + metrics recorded at commit time
-            stats = (spark.read.parquet(self.partials_dir)
-                     .where(F.col("chunk_id") == cid)
+            stats = (spark.read.parquet(chunk_dir)
                      .agg(F.sum("n_rows").alias("rows"),
                           F.sum("n_values").alias("values"),
                           F.countDistinct("partition_id").alias("partitions"))
@@ -95,7 +102,11 @@ class SketchCheckpoint:
                 raise RuntimeError(f"simulated failure after chunk {cid}")
 
     def finalize(self, spark: SparkSession, group_cols: list[str], spec) -> DataFrame:
-        committed = self.committed_chunks()
-        partials = (spark.read.parquet(self.partials_dir)
-                    .where(F.col("chunk_id").isin(list(committed))))
+        committed = sorted(self.committed_chunks())
+        if not committed:
+            raise RuntimeError(f"no committed chunks under {self.root}")
+        dirs = [os.path.join(self.partials_dir, f"chunk_id={cid}")
+                for cid in committed]
+        partials = (spark.read.option("basePath", self.partials_dir)
+                    .parquet(*dirs))
         return merge_sketches(partials, group_cols, spec)

@@ -1,0 +1,141 @@
+"""Round-2 scale hardening of the dedup pipeline: LSH degenerate buckets,
+bucket-cap star fallback, vectorized SimHash equivalence, and
+connected-components convergence semantics."""
+
+import warnings
+
+import numpy as np
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+# ----------------------------------------------------- empty-doc LSH flood
+def test_lsh_empty_docs_no_bucket_blowup(spark):
+    """1k empty/whitespace docs normalize to ONE identical shingle (the
+    hash of ""), land in one giant bucket, and used to explode into
+    O(E^2) = ~500k self-join pairs.  With the bucket cap they must resolve
+    via star edges — LINEAR pair count — while real near-dups are still
+    found and empty docs never pair with real docs."""
+    from python_hll_spark.operators.dedup import minhash_dedup_pairs
+
+    base = ("the quick brown fox jumps over the lazy dog again and again "
+            "while the cat sleeps peacefully near the warm fire ") * 3
+    rows = [(1, base), (2, base + "extra token")]
+    rows += [(100 + i, "") for i in range(500)]
+    rows += [(700 + i, "   ") for i in range(500)]
+    pairs = minhash_dedup_pairs(_docs(spark, rows), num_hashes=64, bands=16,
+                                threshold=0.5, n=3).collect()
+    ids = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert (1, 2) in ids
+    # linear, not quadratic: 1000 empty docs -> <= 999 star edges (+1 real)
+    assert len(ids) <= 1001, f"bucket blowup: {len(ids)} pairs"
+    for a, b in ids:
+        real_a, real_b = a < 100, b < 100
+        assert real_a == real_b, f"empty doc paired with real doc: {(a, b)}"
+
+
+def test_lsh_oversized_bucket_star_fallback(spark):
+    """A bucket bigger than max_bucket emits O(B) star edges (vs min id),
+    keeping component connectivity without O(B^2) pairs."""
+    from python_hll_spark.operators.dedup import (
+        connected_components, lsh_candidate_pairs, minhash_signatures)
+
+    text = ("identical content repeated for every document in this flood "
+            "of exact duplicates that lands in one single lsh bucket ") * 2
+    rows = [(i, text) for i in range(40)]
+    sigs = minhash_signatures(_docs(spark, rows), num_hashes=64, n=3)
+    pairs = lsh_candidate_pairs(sigs, bands=16, max_bucket=8)
+    got = pairs.select("id_a", "id_b").collect()
+    # star: every edge is (0, x) — linear count, not 40*39/2 = 780
+    assert 0 < len(got) <= 40
+    assert all(r["id_a"] == 0 for r in got)
+    comps = connected_components(
+        pairs.select("id_a", "id_b")).select("component").distinct().collect()
+    assert len(comps) == 1  # all 40 docs still one component
+
+
+# ------------------------------------------------ simhash: old == new bits
+def _simhash_reference(word_hashes: list[int]) -> int:
+    """The round-1 per-row implementation, kept as the spec."""
+    h = np.asarray(word_hashes, dtype=np.int64).view(np.uint64)
+    if len(h) == 0:
+        return 0
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+            & np.uint64(1)).astype(np.int64)
+    votes = (2 * bits - 1).sum(axis=0)
+    sig = np.uint64(0)
+    for bit in np.nonzero(votes > 0)[0]:
+        sig |= np.uint64(1) << np.uint64(bit)
+    return int(np.int64(sig.astype(np.int64)))
+
+
+def test_simhash_vectorized_matches_reference(spark):
+    from python_hll_spark.operators.dedup import simhash_signatures
+
+    rng = np.random.default_rng(5)
+    vocab = [f"word{i}" for i in range(300)]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(1, 60)))))
+            for i in range(200)]
+    rows += [(1000, ""), (1001, "   "), (1002, "single")]
+    df = _docs(spark, rows)
+    got = {r["doc_id"]: r["simhash"]
+           for r in simhash_signatures(df).collect()}
+
+    # recompute expected through the same JVM xxhash64 word pipeline
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+    wh = df.select("doc_id",
+                   F.transform(words, lambda w: F.xxhash64(w)).alias("wh")).collect()
+    for r in wh:
+        assert got[r["doc_id"]] == _simhash_reference(r["wh"]), r["doc_id"]
+
+
+# --------------------------------------- connected components convergence
+def test_connected_components_nonconvergence_warns(spark):
+    from python_hll_spark.operators.dedup import connected_components
+
+    # path graph 0-1-2-...-12: diameter >> max_iter=2
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=2).collect()
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=2,
+                             on_nonconverged="raise").collect()
+
+
+def test_connected_components_uses_reliable_checkpoint(spark):
+    from python_hll_spark.operators.dedup import connected_components
+
+    assert spark.sparkContext.getCheckpointDir() is not None
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # no non-convergence warning expected
+        comps = connected_components(edges).collect()
+    m = {r["id"]: r["component"] for r in comps}
+    assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+# -------------------------------------------------- prepare_corpus metrics
+def test_prepare_corpus_metrics_single_pass(spark):
+    from python_hll_spark.plans.pipeline import CorpusFilterConfig, prepare_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "softly on the quiet village roofs this fine morning indeed ")
+    rows = [(i, good + f"doc {i}") for i in range(20)]          # unique docs
+    rows += [(100, good), (101, good), (102, good)]             # exact dups
+    rows += [(200, "x")]                                        # too short
+    df = _docs(spark, rows)
+    clean, metrics = prepare_corpus(df, CorpusFilterConfig(
+        min_quality=0.0, min_words=5, near_dup_threshold=0.95,
+        minhash_hashes=64, minhash_bands=16, run_near_dedup=False))
+    assert metrics["rows_in"] == 24
+    assert metrics["rows_after_quality"] == 23          # short doc dropped
+    assert metrics["rows_after_exact_dedup"] == 21      # 3 exact dups -> 1
+    assert metrics["rows_out"] == 21
+    assert clean.count() == 21

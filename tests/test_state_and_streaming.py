@@ -83,3 +83,23 @@ def test_tables_reader_parquet_fallback(spark, seqs_files):
     df = read_seqs(spark, path=os.path.dirname(seqs_files[0]))
     assert df.columns == ["doc_id", "tokens", "n_tok", "source"]
     assert df.count() == 300
+
+
+def test_checkpoint_retry_after_manifest_crash_no_double_count(
+        spark, seqs_files, tmp_path):
+    """Crash AFTER the parquet job commits but BEFORE the manifest rename:
+    the retry must overwrite the chunk's directory, not append a second
+    copy (which would double CMS/KLL counts and n_rows lineage)."""
+    spec = HLLSpec(HLLConfig.create(11, 5))
+    cp = SketchCheckpoint(str(tmp_path / "mcrash"))
+    cp.run(spark, seqs_files, ["source"], _tokens_extractor, spec, n_chunks=4)
+    # simulate the crash window: chunk 2's parquet exists, manifest doesn't
+    os.remove(os.path.join(cp.manifest_dir, "chunk_2.json"))
+    assert len(cp.committed_chunks()) == 3
+    cp.run(spark, seqs_files, ["source"], _tokens_extractor, spec, n_chunks=4)
+    assert len(cp.committed_chunks()) == 4
+    # lineage must count chunk 2's rows exactly once
+    metrics = cp.chunk_metrics()
+    assert sum(m["n_rows"] for m in metrics) == 300
+    final = cp.finalize(spark, ["source"], spec)
+    assert final.agg(F.sum("n_rows")).collect()[0][0] == 300
