@@ -418,6 +418,52 @@ def q_winnowing_documents(spark, sf_dir):
     return fps.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
 
 
+def q_simhash_dup_invariant(spark, sf_dir):
+    """SimHash determinism/equality invariant, oracle-checked: duplicate
+    every doc under a shifted id — identical text MUST produce an identical
+    64-bit signature (hamming 0).  Exercises the vectorized signature
+    kernel end-to-end with a SQL-expressible expected output."""
+    from python_hll_spark.operators.dedup import simhash_signatures
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    sigs = simhash_signatures(docs.unionByName(shifted))
+    a = sigs.where("doc_id < 1000000") \
+        .select("doc_id", F.col("simhash").alias("sh_a"))
+    b = sigs.where("doc_id >= 1000000") \
+        .select((F.col("doc_id") - 1000000).alias("doc_id"),
+                F.col("simhash").alias("sh_b"))
+    return (a.join(b, "doc_id")
+            .select("doc_id",
+                    (F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) == 0)
+                    .alias("dup_hamming_zero")))
+
+
+def q_winnowing_dup_invariant(spark, sf_dir):
+    """Winnowing invariants, oracle-checked: identical text -> identical
+    fingerprint set; fingerprint count bounded by the k-gram count; plus
+    the exact normalized k-gram count both engines can compute."""
+    from python_hll_spark.functions.text import winnowing_fingerprints
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    fps = winnowing_fingerprints(docs.unionByName(shifted))
+    a = fps.where("doc_id < 1000000") \
+        .select("doc_id", F.col("fingerprints").alias("fp_a"))
+    b = fps.where("doc_id >= 1000000") \
+        .select((F.col("doc_id") - 1000000).alias("doc_id"),
+                F.col("fingerprints").alias("fp_b"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    meta = docs.select("doc_id",
+                       F.greatest(F.length(norm) - 7, F.lit(0)).alias("n_kgrams"),
+                       F.greatest(F.octet_length(norm) - 7, F.lit(1))
+                       .alias("__fp_cap"))
+    return (a.join(b, "doc_id").join(meta, "doc_id")
+            .select("doc_id", "n_kgrams",
+                    (F.col("fp_a") == F.col("fp_b")).alias("dup_fps_equal"),
+                    (F.size("fp_a") <= F.col("__fp_cap")).alias("fp_count_ok")))
+
+
 def q_token_profile_seqs(spark, sf_dir):
     """Single-scan multi-sketch corpus profile over the token table
     (HLL + CMS + Bloom over tokens, KLL over n_tok, per source)."""
@@ -483,6 +529,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_documents": q_simhash_documents,
+        "simhash_dup_invariant": q_simhash_dup_invariant,
+        "winnowing_dup_invariant": q_winnowing_dup_invariant,
         "srp_ann_embeddings": q_srp_ann_embeddings,
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
         "near_dedup_documents": q_near_dedup_documents,
@@ -611,6 +659,15 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON i.id_a = sa.doc_id
             JOIN sizes sb ON i.id_b = sb.doc_id
             WHERE 2 * i.inter >= (sa.sz + sb.sz - i.inter)
+        """,
+        "simhash_dup_invariant": """
+            SELECT doc_id, TRUE AS dup_hamming_zero FROM documents
+        """,
+        "winnowing_dup_invariant": """
+            SELECT doc_id,
+                   greatest(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 7, 0) AS n_kgrams,
+                   TRUE AS dup_fps_equal, TRUE AS fp_count_ok
+            FROM documents
         """,
         "ann_topk_embeddings": """
             WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv

@@ -77,8 +77,10 @@ def _scaling_worker(n_cores: int) -> dict:
     from python_hll_spark.plans.session import get_spark
     from python_hll_spark.sketches.hll import HLLConfig
 
-    # min-of-reps damps scheduler/GC noise; fewer reps where walls are long
-    reps = {1: 1, 2: 2}.get(n_cores, 3)
+    # min-of-reps damps scheduler/GC noise; fewer reps where walls are long.
+    # >=4 reps at 2 and 8 cores tightens the 2->8 efficiency band (it ran
+    # 0.64-0.89 across round-1 runs with 2-3 reps).
+    reps = {1: 2, 2: 4, 4: 4, 8: 5}.get(n_cores, 5)
     spark = get_spark(f"bench-scale-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(32, n_cores))
     spark.sparkContext.setLogLevel("ERROR")
