@@ -246,10 +246,13 @@ def q_dedup_exact_documents(spark, sf_dir):
 
 
 def q_text_stats_documents(spark, sf_dir):
+    from python_hll_spark.functions.text import bpe_token_count
+
     docs = _read(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         F.regexp_count(F.col("text"), F.lit("[A-Za-z0-9]+")).alias("n_words"),
+        bpe_token_count(F.col("text")).alias("n_bpe_tokens"),
         F.length(F.regexp_replace("text", "[^A-Za-z]", "")).alias("n_alpha"),
         F.length("text").alias("len_chars"))
 
@@ -399,6 +402,93 @@ def q_cms_top_words_by_source(spark, sf_dir):
                  F.min(F.col("ok").cast("int")).cast("boolean").alias("cms_ok")))
 
 
+def q_cms_top_words_by_source_lang(spark, sf_dir):
+    """Heavy hitters under a COMPOSITE (source, lang) group key — cms_topk's
+    candidate + CMS stages both run the multi-column Arrow path."""
+    from python_hll_spark.operators.topk import cms_topk
+    from python_hll_spark.sketches.cms import CMSConfig
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select("source", "lang",
+                        F.explode(_norm_words(F.col("text"))).alias("w")).persist()
+    cfg = CMSConfig(depth=5, width=65536)
+    got = cms_topk(words, ["source", "lang"], "w", k=2, cfg=cfg)
+    exact = (words.groupBy("source", "lang", "w").agg(F.count("*").alias("cnt"))
+             .select(F.col("source").alias("e_s"), F.col("lang").alias("e_l"),
+                     F.col("w").alias("e_w"), "cnt"))
+    n_group = words.groupBy("source", "lang").agg(F.count("*").alias("n_g"))
+    checked = (got.join(exact, (F.col("key") == F.col("e_w"))
+                        & (F.col("source") == F.col("e_s"))
+                        & (F.col("lang") == F.col("e_l")))
+               .drop("e_s", "e_l", "e_w")
+               .join(n_group, ["source", "lang"])
+               .withColumn("ok", (F.col("est_count") >= F.col("cnt")) &
+                           (F.col("est_count") - F.col("cnt") <= cfg.eps * F.col("n_g") + 1)))
+    out = (checked.groupBy("source", "lang")
+           .agg(F.max("cnt").alias("top1_cnt"),
+                F.min(F.col("ok").cast("int")).cast("boolean").alias("cms_ok")))
+    return out
+
+
+def q_bloom_fp_rate_bound(spark, sf_dir):
+    """Bloom false-positive discipline: probe keys that are NOT members
+    (partkeys of other returnflags) and check the measured FP rate against
+    the filter's theoretical (1-e^{-kn/m})^k bound."""
+    from python_hll_spark.operators.membership import bloom_build, bloom_probe
+    from python_hll_spark.sketches.bloom import BloomConfig
+
+    li = _read(spark, sf_dir, "lineitem")
+    cfg = BloomConfig(log2_bits=20, num_hashes=5)
+    members = li.where("l_returnflag = 'R'").select("l_partkey").distinct()
+    states = bloom_build(members.withColumn("__g", F.lit("R")), "l_partkey",
+                         by=["__g"], cfg=cfg)
+    # guaranteed non-members: shift every distinct partkey far past the key
+    # domain — deterministic, non-empty at every sf, trivially SQL-parity
+    non_members = (li.select((F.col("l_partkey") + F.lit(1_000_000_000))
+                             .alias("l_partkey")).distinct()
+                   .withColumn("__g", F.lit("R")))
+    probed = bloom_probe(states, non_members, "l_partkey", by=["__g"])
+    n_members = members.count()
+    bound = cfg.expected_fp_rate(n_members)
+    agg = probed.agg(
+        F.count("*").alias("n_probes"),
+        F.coalesce(F.sum(F.col("might_contain").cast("long")), F.lit(0))
+        .alias("n_fp"))
+    return agg.select(
+        F.lit(n_members).alias("n_members"), "n_probes",
+        ((F.col("n_fp") / F.greatest(F.col("n_probes"), F.lit(1)))
+         <= 2 * bound + 0.01).alias("fp_ok"))
+
+
+def q_kll_value_by_type_day(spark, sf_dir):
+    """Quantile profiles under a COMPOSITE (event_type, day) group key —
+    150 groups through the multi-column Arrow scalar builder."""
+    from python_hll_spark.operators.quantiles import sketch_quantiles
+    from python_hll_spark.sketches.kll import KLLConfig
+
+    events = _read(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts").cast("string"))
+    cfg = KLLConfig(k=KLL_K)
+    est = sketch_quantiles(events, "value", QS, by=["event_type", "day"],
+                           method="kll", k=KLL_K)
+    exploded = est.select("event_type", "day",
+                          F.posexplode(F.col("quantiles")).alias("qi", "qv"))
+    ranks = (events.join(F.broadcast(exploded), ["event_type", "day"])
+             .groupBy("event_type", "day", "qi")
+             .agg((F.sum((F.col("value") <= F.col("qv")).cast("long")) /
+                   F.count("*")).alias("rank")))
+    tol = 3 * cfg.rank_error + 1e-9
+    qs_df = spark.createDataFrame([(i, q) for i, q in enumerate(QS)],
+                                  "qi int, q double")
+    ok = (ranks.join(F.broadcast(qs_df), "qi")
+          .withColumn("ok", F.abs(F.col("rank") - F.col("q")) <= tol)
+          .groupBy("event_type", "day")
+          .agg(F.min(F.col("ok").cast("int")).cast("boolean").alias("kll_ok")))
+    n = events.groupBy("event_type", "day").agg(F.count("*").alias("n"))
+    return n.join(ok, ["event_type", "day"]) \
+        .select("event_type", "day", "n", "kll_ok")
+
+
 def q_near_dedup_documents(spark, sf_dir):
     """Near-duplicate removal end to end (MinHash-LSH -> connected
     components -> keep representative); hash-seeded, rows-only check."""
@@ -519,7 +609,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv_hourly_events": q_hll_ndv_hourly_events,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
         "cms_top_words_by_source": q_cms_top_words_by_source,
+        "cms_top_words_by_source_lang": q_cms_top_words_by_source_lang,
         "kll_value_by_event_type": q_kll_value_by_event_type,
+        "kll_value_by_type_day": q_kll_value_by_type_day,
+        "bloom_fp_rate_bound": q_bloom_fp_rate_bound,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "bloom_partkeys_by_returnflag": q_bloom_partkeys_by_returnflag,
         "dedup_exact_documents": q_dedup_exact_documents,
@@ -593,6 +686,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, MAX(cnt) AS top1_cnt, TRUE AS cms_ok
             FROM counted GROUP BY source
         """,
+        "cms_top_words_by_source_lang": """
+            WITH w AS (SELECT source, lang,
+                       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+                       FROM documents),
+            counted AS (SELECT source, lang, w, COUNT(*) AS cnt
+                        FROM w GROUP BY source, lang, w)
+            SELECT source, lang, MAX(cnt) AS top1_cnt, TRUE AS cms_ok
+            FROM counted GROUP BY source, lang
+        """,
+        "kll_value_by_type_day": """
+            SELECT event_type, CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+                   COUNT(*) AS n, TRUE AS kll_ok
+            FROM events GROUP BY event_type, CAST(ts AS DATE)
+        """,
+        "bloom_fp_rate_bound": """
+            SELECT (SELECT COUNT(DISTINCT l_partkey) FROM lineitem
+                    WHERE l_returnflag = 'R') AS n_members,
+                   COUNT(DISTINCT l_partkey) AS n_probes, TRUE AS fp_ok
+            FROM lineitem
+        """,
         "kll_value_by_event_type": """
             SELECT event_type, COUNT(*) AS n, TRUE AS kll_ok
             FROM events GROUP BY event_type
@@ -614,6 +727,7 @@ def oracle_sql() -> dict[str, str]:
         "text_stats_documents": """
             SELECT doc_id,
                    length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                   length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                    length(text) AS len_chars
             FROM documents

@@ -33,6 +33,19 @@ def whitespace_token_count(text: Column) -> Column:
         F.size(F.split(trimmed, r"\s+")))
 
 
+BPE_TOKEN_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-pre-tokenizer-style token count: letter runs, digit runs, and
+    individual punctuation/symbol characters each count as one token (the
+    GPT-2 pre-tokenizer shape, minus lookahead so the same pattern runs
+    identically under Java regex AND RE2/DuckDB — the alternatives have
+    disjoint first-character classes, so both engines match identically).
+    A budget estimator for LLM training-token accounting."""
+    return F.regexp_count(text, F.lit(BPE_TOKEN_RE))
+
+
 def alpha_ratio(text: Column) -> Column:
     """Fraction of characters that are ASCII letters."""
     letters = F.length(F.regexp_replace(text, "[^A-Za-z]", ""))
@@ -160,6 +173,7 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     return (df
             .withColumn("n_words", word_count(t))
             .withColumn("n_ws_tokens", whitespace_token_count(t))
+            .withColumn("n_bpe_tokens", bpe_token_count(t))
             .withColumn("alpha_ratio", F.round(alpha_ratio(t), 6))
             .withColumn("quality", quality_score(t))
             .withColumn("lang_pred", detect_language(t))

@@ -21,7 +21,7 @@ def _hash_keys(keys: np.ndarray) -> np.ndarray:
 def bloom_build(df: DataFrame, key_col: str, by: list[str] | None = None,
                 cfg: BloomConfig | None = None) -> DataFrame:
     """Build per-group Bloom states over an integral key column
-    (Arrow-native stage 1 for <=1 group column).
+    (Arrow-native stage 1, any group-key arity).
 
     Returns (by..., state binary, n_values bigint)."""
     from python_hll_spark.operators.aggregate import (
@@ -30,17 +30,11 @@ def bloom_build(df: DataFrame, key_col: str, by: list[str] | None = None,
     spec = BloomSpec(cfg or BloomConfig())
     by = by or []
     pruned = df.select(*by, F.col(key_col).cast("long").alias("__key"))
-    if len(by) <= 1:
-        partials = scalar_partials_arrow(pruned, by, "__key", SplitmixSpec(spec))
-        if by:
-            return merge_sketches(partials, by, spec)
-        return merge_sketches(partials.withColumn("__g", F.lit(0)),
-                              ["__g"], spec).drop("__g")
-
-    def extract(pdf: pd.DataFrame) -> np.ndarray:
-        return _hash_keys(pdf["__key"].to_numpy(dtype=np.int64))
-
-    return sketch_groupby(pruned, by, extract, spec)
+    partials = scalar_partials_arrow(pruned, by, "__key", SplitmixSpec(spec))
+    if by:
+        return merge_sketches(partials, by, spec)
+    return merge_sketches(partials.withColumn("__g", F.lit(0)),
+                          ["__g"], spec).drop("__g")
 
 
 def bloom_probe(states: DataFrame, probes: DataFrame, key_col: str,

@@ -46,15 +46,10 @@ def sketch_quantiles(df: DataFrame, value_col: str, qs: list[float],
 
     by = by or []
     pruned = df.select(*by, F.col(value_col).cast("double").alias("__v"))
-    if len(by) <= 1:
-        partials = scalar_partials_arrow(pruned, by, "__v", spec,
-                                         dtype=np.float64)
-        if by:
-            states = merge_sketches(partials, by, spec)
-        else:
-            states = merge_sketches(partials.withColumn("__g", F.lit(0)),
-                                    ["__g"], spec).drop("__g")
+    partials = scalar_partials_arrow(pruned, by, "__v", spec, dtype=np.float64)
+    if by:
+        states = merge_sketches(partials, by, spec)
     else:
-        extractor = _value_extractor("__v")
-        states = sketch_groupby(pruned, by, extractor, spec)
+        states = merge_sketches(partials.withColumn("__g", F.lit(0)),
+                                ["__g"], spec).drop("__g")
     return states.withColumn("quantiles", _quantile_udf(spec, qs)(F.col("state")))

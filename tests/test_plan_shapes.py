@@ -88,3 +88,33 @@ def test_token_profile_plan(spark):
     below = plan.split("MapInArrow")[-1]
     assert "Exchange" not in below
     assert plan.count("Exchange") == 2  # salted + final merge only
+
+
+def test_ndv_composite_group_plan(spark):
+    """Composite (2-col) group keys keep the same 100TB plan shape: pruned
+    scan, exchange-free below the Arrow partial build, 2 state exchanges."""
+    from pyspark.sql import functions as F
+    from python_hll_spark.operators.ndv import hll_ndv_column
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .withColumn("day", F.to_date("ts").cast("string"))
+    plan = _plan(hll_ndv_column(ev, "user_id", by=["event_type", "day"]))
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {"user_id", "event_type", "ts"}
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan.split("MapInArrow")[-1]
+    assert plan.count("Exchange") == 2
+
+
+def test_quantiles_composite_group_plan(spark):
+    from pyspark.sql import functions as F
+    from python_hll_spark.operators.quantiles import sketch_quantiles
+
+    ev = spark.read.parquet("/root/testdata/sf0.01/events.parquet") \
+        .withColumn("day", F.to_date("ts").cast("string"))
+    plan = _plan(sketch_quantiles(ev, "value", [0.5],
+                                  by=["event_type", "day"]))
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan.split("MapInArrow")[-1]
+    assert plan.count("Exchange") == 2
