@@ -312,6 +312,48 @@ def q_srp_ann_embeddings(spark, sf_dir):
     return srp_topk(emb, probes, k=5, n_bits=6)
 
 
+def q_ivf_ann_recall(spark, sf_dir):
+    """IVF coarse-quantizer ANN, oracle-checked two ways: (a) invariant —
+    a probe that IS a corpus vector must retrieve itself at rank 1 (its
+    own list is always its nearest list); (b) measured recall@5 vs the
+    exact brute-force top-5 stays above a margin (deterministic: seeded
+    centroids over fixed testdata; random embeddings are IVF's worst case
+    and still clear it)."""
+    from python_hll_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = _read(spark, sf_dir, "embeddings")
+    probes = (emb.orderBy("vec_id").limit(5)
+              .select(F.col("vec_id").alias("probe_id"), "embedding"))
+    ivf = ivf_topk(emb, probes, k=5, n_lists=32, nprobe=8)
+    brute = brute_force_topk(emb, probes, k=5)
+    self_hit = (ivf.where((F.col("rank") == 1)
+                          & (F.col("probe_id") == F.col("vec_id")))
+                .groupBy("probe_id").agg(F.lit(True).alias("self_rank1")))
+    hits = (ivf.select("probe_id", "vec_id")
+            .join(brute.select("probe_id", "vec_id"), ["probe_id", "vec_id"])
+            .groupBy("probe_id").agg(F.count("*").alias("n_hits")))
+    return (self_hit.join(hits, "probe_id")
+            .select("probe_id", "self_rank1",
+                    (F.col("n_hits") >= 2).alias("recall_ok")))
+
+
+def q_embedding_dup_recall(spark, sf_dir):
+    """Embedding near-dup dedup, oracle-checked by duplicate injection:
+    every vector duplicated under a shifted id MUST be re-paired with its
+    original by the SRP-bucketed dedup (identical vectors share every
+    bucket; cosine 1 >= threshold), and no cross pairs exist at 0.99 in
+    this corpus (max natural pairwise cosine ~0.51)."""
+    from python_hll_spark.operators.similarity import embedding_dedup_pairs
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    pairs = embedding_dedup_pairs(emb.unionByName(dup), threshold=0.99)
+    found = (pairs.where(F.col("id_b") == F.col("id_a") + 1000000)
+             .select(F.col("id_a").alias("vec_id"),
+                     F.lit(True).alias("dup_found")))
+    return emb.select("vec_id").join(found, "vec_id")
+
+
 def q_seqs_ndv_tokens_by_source(spark, sf_dir):
     """North-star query on the input_hint token table (synthesized
     deterministically; no registered oracle view exists for it)."""
@@ -625,6 +667,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_dup_invariant": q_simhash_dup_invariant,
         "winnowing_dup_invariant": q_winnowing_dup_invariant,
         "srp_ann_embeddings": q_srp_ann_embeddings,
+        "ivf_ann_recall": q_ivf_ann_recall,
+        "embedding_dup_recall": q_embedding_dup_recall,
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
         "near_dedup_documents": q_near_dedup_documents,
         "winnowing_documents": q_winnowing_documents,
@@ -782,6 +826,13 @@ def oracle_sql() -> dict[str, str]:
                    greatest(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 7, 0) AS n_kgrams,
                    TRUE AS dup_fps_equal, TRUE AS fp_count_ok
             FROM documents
+        """,
+        "ivf_ann_recall": """
+            SELECT vec_id AS probe_id, TRUE AS self_rank1, TRUE AS recall_ok
+            FROM embeddings ORDER BY vec_id LIMIT 5
+        """,
+        "embedding_dup_recall": """
+            SELECT vec_id, TRUE AS dup_found FROM embeddings
         """,
         "ann_topk_embeddings": """
             WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv

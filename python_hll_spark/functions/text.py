@@ -109,63 +109,138 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
 
     Standard winnowing (Schleimer/Wilkerson/Aiken): hash every k-gram of the
     normalized text with a polynomial rolling hash, then keep the minimum
-    hash of each sliding window of ``window`` k-grams (dedup'd).  Robust
-    doc fingerprint for near-dup / containment detection; fully vectorized
-    per Arrow batch (the rolling hash is one cumulative numpy pass)."""
+    hash of each sliding window of ``window`` k-grams (dedup'd).
+
+    Fully vectorized ACROSS docs (no per-row Python): the rolling-hash
+    recurrence runs once over the chunk's concatenated utf-8 buffer — a
+    k-gram hash is a pure function of its k bytes, so positions whose
+    window straddles a doc boundary are simply masked out afterwards.
+    Sliding-window minima likewise run over the concatenated valid-hash
+    array with boundary-crossing windows masked; docs shorter than one
+    window take their first global min via a segmented reduce.  Chunked at
+    doc boundaries (~256KB of text per chunk) to keep temporaries
+    cache-sized."""
     import numpy as np
-    import pandas as pd
+    import pyarrow as pa
+    from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql import functions as FF
 
-    B = np.uint64(1000003)
+    B_INT = 1000003
+    M = 1 << 64
+    BK = np.uint64(pow(B_INT, k, M))
+    BINV = np.uint64(pow(B_INT, -1, M))
+    B = np.uint64(B_INT)
+    POWERS = np.array([pow(B_INT, k - 1 - j, M) for j in range(k)],
+                      dtype=np.uint64)
+    CHUNK_BYTES = 1 << 18
+
     norm = FF.regexp_replace(FF.lower(FF.trim(FF.col(text_col))), r"\s+", " ")
     pruned = df.select(FF.col(id_col), norm.alias("__t"))
 
-    bk_int = pow(1000003, k, 1 << 64)  # B^k mod 2^64
-
-    def fp_one(text: str) -> np.ndarray:
-        data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
-        n = len(data) - k + 1
-        if n <= 0:
-            return np.empty(0, dtype=np.int64)
-        # polynomial rolling hash of every k-gram in one vector recurrence:
-        # h[i+1] = (h[i] - data[i]*B^(k-1)) * B + data[i+k]
-        d = data.astype(np.uint64)
-        powers = np.array([pow(1000003, k - 1 - j, 1 << 64) for j in range(k)],
-                          dtype=np.uint64)
-        h = np.empty(n, dtype=np.uint64)
-        # windowed dot product via cumulative trick: compute first directly,
-        # then vectorized recurrence via prefix transform
-        h[0] = (d[:k] * powers).sum(dtype=np.uint64)
-        if n > 1:
-            # recurrence h[i] = h[i-1]*B - d[i-1]*B^k + d[i+k-1] (mod 2^64)
-            # becomes a prefix sum after dividing out B^i: with
-            # g[i] = h[i]*B^(-i), g[i] = g[0] + cumsum((d[i+k-1] -
-            # d[i-1]*B^k) * B^(-i)).  B is odd so B^(-1) exists mod 2^64,
-            # and uint64 wraparound IS mod-2^64 arithmetic.
-            Binv = np.uint64(pow(int(B), -1, 1 << 64))
-            binv_pow = np.cumprod(np.full(n - 1, Binv, dtype=np.uint64))
-            term = (d[k:] - d[:n - 1] * np.uint64(bk_int)) * binv_pow
-            acc = np.cumsum(term, dtype=np.uint64) + h[0]
-            # B^i via cumulative product
-            b_pow = np.cumprod(np.full(n - 1, B, dtype=np.uint64))
-            h[1:] = acc * b_pow
-        # winnow: min per sliding window of `window` hashes
-        if n <= window:
-            sel = np.array([h.argmin()])
-        else:
-            from numpy.lib.stride_tricks import sliding_window_view
-            mins = sliding_window_view(h, window).argmin(axis=1)
-            sel = np.unique(mins + np.arange(len(mins)))
-        return np.unique(h[sel]).view(np.int64)
-
     def compute(batches):
-        for pdf in batches:
-            fps = [fp_one(t) for t in pdf["__t"]]
-            yield pd.DataFrame({id_col: pdf[id_col], "fingerprints": fps})
+        import pyarrow.compute as pc
+        for batch in batches:
+            txt = batch.column("__t")
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            n_docs = len(txt)
+            if n_docs == 0:
+                continue
+            if txt.null_count:
+                txt = pc.fill_null(txt, "")
+            if pa.types.is_large_string(txt.type):
+                txt = txt.cast(pa.string())
+            buf_off = np.frombuffer(txt.buffers()[1], dtype=np.int32,
+                                    count=n_docs + 1 + txt.offset)
+            offs = buf_off[txt.offset:].astype(np.int64)
+            dbuf = txt.buffers()[2]
+            data = (np.frombuffer(dbuf, dtype=np.uint8)
+                    if dbuf is not None else np.empty(0, dtype=np.uint8))
+
+            counts = np.zeros(n_docs, dtype=np.int64)
+            values_parts: list = []
+            s = 0
+            while s < n_docs:
+                e = int(np.searchsorted(offs, offs[s] + CHUNK_BYTES, "left"))
+                e = min(max(e - 1, s + 1), n_docs)
+                lo, hi = offs[s], offs[e]
+                L = int(hi - lo)
+                ng = L - k + 1
+                if ng <= 0:
+                    s = e
+                    continue
+                d64 = data[lo:hi].astype(np.uint64)
+                # global rolling hash over the concatenated chunk: each
+                # h[p] is the k-gram polynomial at byte p (doc-agnostic)
+                h = np.empty(ng, dtype=np.uint64)
+                h[0] = (d64[:k] * POWERS).sum(dtype=np.uint64)
+                if ng > 1:
+                    # h[i] = h[i-1]*B - d[i-1]*B^k + d[i+k-1] (mod 2^64)
+                    # -> prefix sum after dividing out B^i (B odd, so
+                    # B^-1 exists mod 2^64; uint64 wraparound IS mod 2^64)
+                    binv_pow = np.cumprod(np.full(ng - 1, BINV, dtype=np.uint64))
+                    term = (d64[k:] - d64[:ng - 1] * BK) * binv_pow
+                    acc = np.cumsum(term, dtype=np.uint64) + h[0]
+                    b_pow = np.cumprod(np.full(ng - 1, B, dtype=np.uint64))
+                    h[1:] = acc * b_pow
+                # mask k-grams whose window crosses a doc boundary
+                doc_starts = offs[s:e] - lo
+                doc_lens = np.diff(offs[s:e + 1])
+                pos = np.arange(ng)
+                didx = np.searchsorted(doc_starts, pos, side="right") - 1
+                valid = (pos + k) <= (doc_starts[didx] + doc_lens[didx])
+                hv = h[valid]
+                dv = didx[valid]
+                Lv = len(hv)
+                if Lv == 0:
+                    s = e
+                    continue
+                n_per_doc = np.bincount(dv, minlength=e - s)
+                sel_mask = np.zeros(Lv, dtype=bool)
+                # long docs: sliding-window argmin over the concatenated
+                # valid hashes; windows spanning two docs are masked
+                if Lv >= window:
+                    mins_rel = sliding_window_view(hv, window).argmin(axis=1)
+                    ok = dv[:Lv - window + 1] == dv[window - 1:]
+                    sel_mask[(mins_rel + np.arange(Lv - window + 1))[ok]] = True
+                # short docs (0 < n_i < window): first global min per doc
+                short = (n_per_doc > 0) & (n_per_doc < window)
+                if short.any():
+                    seg_starts = np.zeros(e - s, dtype=np.int64)
+                    np.cumsum(n_per_doc[:-1], out=seg_starts[1:])
+                    nonempty = n_per_doc > 0
+                    mins = np.full(e - s, np.iinfo(np.uint64).max, dtype=np.uint64)
+                    mins[nonempty] = np.minimum.reduceat(hv, seg_starts[nonempty])
+                    cand = np.nonzero((hv == mins[dv]) & short[dv])[0]
+                    _, first = np.unique(dv[cand], return_index=True)
+                    sel_mask[cand[first]] = True
+                sel = np.nonzero(sel_mask)[0]
+                sd, sv = dv[sel], hv[sel]
+                # per-doc sorted-unique fingerprint values
+                order = np.lexsort((sv, sd))
+                sd, sv = sd[order], sv[order]
+                keep = np.ones(len(sd), dtype=bool)
+                keep[1:] = (sd[1:] != sd[:-1]) | (sv[1:] != sv[:-1])
+                sd, sv = sd[keep], sv[keep]
+                counts[s:e] += np.bincount(sd, minlength=e - s)
+                values_parts.append(sv.view(np.int64))
+                s = e
+
+            values = (np.concatenate(values_parts) if values_parts
+                      else np.empty(0, dtype=np.int64))
+            list_offsets = np.zeros(n_docs + 1, dtype=np.int32)
+            np.cumsum(counts, out=list_offsets[1:])
+            fps = pa.ListArray.from_arrays(pa.array(list_offsets, pa.int32()),
+                                           pa.array(values, pa.int64()))
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            yield pa.RecordBatch.from_arrays(
+                [ids, fps], names=[id_col, "fingerprints"])
 
     id_type = dict(df.dtypes)[id_col]
-    return pruned.mapInPandas(compute,
-                              schema=f"`{id_col}` {id_type}, fingerprints array<bigint>")
+    return pruned.mapInArrow(compute,
+                             schema=f"`{id_col}` {id_type}, fingerprints array<bigint>")
 
 
 def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:

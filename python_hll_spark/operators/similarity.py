@@ -92,6 +92,92 @@ def srp_topk(corpus: DataFrame, probes: DataFrame, k: int = 10, n_bits: int = 8,
             .select("probe_id", id_col, "cosine", "rank"))
 
 
+# ------------------------------------------------------------------- IVF
+def _spherical_kmeans(sample: np.ndarray, n_lists: int, seed: int = 42,
+                      iters: int = 10) -> np.ndarray:
+    """Deterministic spherical k-means on a driver-side sample — the IVF
+    coarse quantizer.  Sample is O(n_lists * 256) rows regardless of corpus
+    size; centroids are (n_lists, dim) floats, trivially broadcastable."""
+    rng = np.random.default_rng(seed)
+    norms = np.linalg.norm(sample, axis=1, keepdims=True)
+    x = sample / np.maximum(norms, 1e-12)
+    n_lists = min(n_lists, len(x))
+    cent = x[rng.choice(len(x), size=n_lists, replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(x @ cent.T, axis=1)
+        for c in range(n_lists):
+            members = x[assign == c]
+            if len(members):
+                v = members.sum(axis=0)
+                cent[c] = v / max(np.linalg.norm(v), 1e-12)
+            else:  # deterministic re-seed: farthest point from its centroid
+                sims = (x * cent[assign]).sum(axis=1)
+                cent[c] = x[int(np.argmin(sims))]
+    return cent
+
+
+def ivf_train(corpus: DataFrame, n_lists: int = 64, vec_col: str = "embedding",
+              seed: int = 42, train_per_list: int = 256) -> np.ndarray:
+    """Train IVF centroids on a seeded sample (standard IVF practice: the
+    quantizer trains on O(n_lists*256) vectors, not the corpus)."""
+    n = corpus.count()
+    target = n_lists * train_per_list
+    frac = min(1.0, target / max(n, 1))
+    rows = (corpus.select(vec_col).sample(False, frac, seed=seed)
+            .limit(target).collect())
+    sample = np.array([r[0] for r in rows], dtype=np.float64)
+    return _spherical_kmeans(sample, n_lists, seed=seed)
+
+
+def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
+    """Arrow-batched assignment: one matmul per batch against the broadcast
+    centroid matrix; returns the nprobe nearest list ids."""
+    cent = centroids
+
+    @F.pandas_udf("array<int>")
+    def assign(vecs: pd.Series) -> pd.Series:
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent.T
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None]
+        else:
+            np_eff = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, np_eff - 1, axis=1)[:, :np_eff]
+        return pd.Series([row.astype(np.int32).tolist() for row in top])
+
+    return assign
+
+
+def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
+             n_lists: int = 64, nprobe: int = 8, id_col: str = "vec_id",
+             vec_col: str = "embedding", seed: int = 42,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """IVF approximate cosine top-k: corpus vectors live in their nearest
+    centroid's inverted list; each probe rescans only its nprobe nearest
+    lists (O(N * nprobe / n_lists) per probe instead of O(N)).
+
+    100TB shape: the centroid matrix is KBs (broadcast inside the UDF
+    closure); the corpus is bucketed by ONE int column, so the probe join
+    is an equi-join Catalyst shuffles/broadcasts like any other key."""
+    if centroids is None:
+        centroids = ivf_train(corpus, n_lists, vec_col, seed)
+    c_assign = ivf_assign_udf(centroids, nprobe=1)
+    p_assign = ivf_assign_udf(centroids, nprobe=nprobe)
+
+    c = (corpus.select(id_col, vec_col)
+         .withColumn("list_id", F.element_at(c_assign(F.col(vec_col)), 1)))
+    p = (probes.select("probe_id", F.col(vec_col).alias("__pv"))
+         .withColumn("list_id", F.explode(p_assign(F.col("__pv")))))
+    joined = c.join(F.broadcast(p), on="list_id").drop("list_id")
+    scored = with_cosine(joined, vec_col, "__pv", out="cosine") \
+        .dropDuplicates(["probe_id", id_col])
+    w = Window.partitionBy("probe_id").orderBy(F.desc("cosine"), F.asc(id_col))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("probe_id", id_col, "cosine", "rank"))
+
+
 def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_bits: int = 8, seed: int = 42) -> DataFrame:

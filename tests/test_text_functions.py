@@ -64,3 +64,52 @@ def test_with_text_stats_values(spark):
     assert rows[2]["n_words"] == 0
     assert rows[2]["n_ws_tokens"] == 0
     assert rows[3]["n_ws_tokens"] == 0
+
+
+def test_winnowing_vectorized_matches_reference(spark):
+    """The cross-doc vectorized winnowing must be bit-identical to the
+    round-1 per-doc implementation (kept here as the spec)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    K, W = 8, 16
+
+    def fp_one(text: str) -> list:
+        data = np.frombuffer(text.encode("utf-8", "surrogatepass"), dtype=np.uint8)
+        n = len(data) - K + 1
+        if n <= 0:
+            return []
+        d = data.astype(np.uint64)
+        powers = np.array([pow(1000003, K - 1 - j, 1 << 64) for j in range(K)],
+                          dtype=np.uint64)
+        h = np.empty(n, dtype=np.uint64)
+        h[0] = (d[:K] * powers).sum(dtype=np.uint64)
+        if n > 1:
+            Binv = np.uint64(pow(1000003, -1, 1 << 64))
+            binv_pow = np.cumprod(np.full(n - 1, Binv, dtype=np.uint64))
+            term = (d[K:] - d[:n - 1] * np.uint64(pow(1000003, K, 1 << 64))) * binv_pow
+            acc = np.cumsum(term, dtype=np.uint64) + h[0]
+            b_pow = np.cumprod(np.full(n - 1, np.uint64(1000003), dtype=np.uint64))
+            h[1:] = acc * b_pow
+        if n <= W:
+            sel = np.array([h.argmin()])
+        else:
+            from numpy.lib.stride_tricks import sliding_window_view
+            mins = sliding_window_view(h, W).argmin(axis=1)
+            sel = np.unique(mins + np.arange(len(mins)))
+        return np.unique(h[sel]).view(np.int64).tolist()
+
+    rng = np.random.default_rng(13)
+    vocab = [f"w{i}" for i in range(200)]
+    rows = [(i, " ".join(rng.choice(vocab, size=int(rng.integers(0, 80)))))
+            for i in range(150)]
+    rows += [(900, ""), (901, "   "), (902, "exact"), (903, "x" * 7),
+             (904, "y" * 8), (905, "z" * 500)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: list(r["fingerprints"])
+           for r in winnowing_fingerprints(df).collect()}
+    # reference path applies the same JVM normalization first
+    norm = df.select("doc_id", F.regexp_replace(
+        F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t")).collect()
+    for r in norm:
+        assert got[r["doc_id"]] == fp_one(r["t"]), r["doc_id"]
