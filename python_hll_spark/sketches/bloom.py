@@ -55,14 +55,19 @@ class BloomSketch:
         self.n_added = 0
 
     def _iter_positions(self, hashed: np.ndarray):
+        """Yields the SAME index buffer each iteration (masked values are
+        < 2^63 so the int64 view is free) — consumers must gather/scatter
+        immediately, never retain a yielded array across iterations."""
         h1 = splitmix64(hashed, seed=self.cfg.seed).view(np.uint64)
         h2 = splitmix64(hashed, seed=self.cfg.seed + 1).view(np.uint64) | np.uint64(1)
         mask = np.uint64(self.cfg.n_bits - 1)
-        cur = h1.copy()
+        cur = h1  # splitmix64 returns a fresh array; safe to mutate in place
+        buf = np.empty_like(cur)
         for k in range(self.cfg.num_hashes):
             if k:
                 cur += h2
-            yield (cur & mask).astype(np.int64, copy=False)
+            np.bitwise_and(cur, mask, out=buf)
+            yield buf.view(np.int64)
 
     def update(self, hashed: np.ndarray) -> None:
         if len(hashed) == 0:

@@ -62,15 +62,22 @@ class CMSSketch:
         time with in-place arithmetic (pow2 width -> mask, no division)."""
         h1 = splitmix64(hashed, seed=self.cfg.seed).view(np.uint64)
         h2 = splitmix64(hashed, seed=self.cfg.seed + 1).view(np.uint64) | np.uint64(1)
-        cur = h1.copy()
+        cur = h1  # splitmix64 returns a fresh array; safe to mutate in place
+        buf = np.empty_like(cur)
         pow2 = self.cfg.width_is_pow2
         mask = np.uint64(self.cfg.width - 1)
         width = np.uint64(self.cfg.width)
         for d in range(self.cfg.depth):
             if d:
                 cur += h2
-            idx = (cur & mask) if pow2 else (cur % width)
-            yield d, idx.astype(np.int64, copy=False)
+            if pow2:
+                np.bitwise_and(cur, mask, out=buf)
+            else:
+                np.remainder(cur, width, out=buf)
+            # masked values < 2^63 so the int64 view is free; the SAME
+            # buffer is yielded every iteration — consumers gather/scatter
+            # immediately and never retain it across iterations
+            yield d, buf.view(np.int64)
 
     def update(self, hashed: np.ndarray, weights: np.ndarray | None = None) -> None:
         if len(hashed) == 0:
