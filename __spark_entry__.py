@@ -178,6 +178,26 @@ def q_cms_top1_by_event_type(spark, sf_dir):
 # --------------------------------------------------------------------------
 # Quantile sketches bound checks
 # --------------------------------------------------------------------------
+def _rank_bound_ok(df, value_col, est, by, tol, ok_name):
+    """Single-pass rank check: broadcast-join the per-group quantile ARRAYS
+    (one estimate row per group — zero row expansion, unlike a posexplode
+    crossJoin which triples the scan) and compute every quantile's exact
+    rank as a conditional aggregate in one scan of ``df``."""
+    import functools
+    import operator
+
+    joined = (df.join(F.broadcast(est), by) if by
+              else df.crossJoin(F.broadcast(est)))
+    rank_cols = [
+        (F.sum((F.col(value_col) <= F.col("quantiles")[i]).cast("long")) /
+         F.count("*")).alias(f"_r{i}") for i in range(len(QS))]
+    grouped = joined.groupBy(*by) if by else joined
+    agg = grouped.agg(F.count("*").alias("n"), *rank_cols)
+    ok = functools.reduce(operator.and_, [
+        F.abs(F.col(f"_r{i}") - F.lit(q)) <= tol for i, q in enumerate(QS)])
+    return agg.select(*by, "n", ok.alias(ok_name))
+
+
 def q_kll_value_by_event_type(spark, sf_dir):
     from python_hll_spark.operators.quantiles import sketch_quantiles
     from python_hll_spark.sketches.kll import KLLConfig
@@ -186,22 +206,9 @@ def q_kll_value_by_event_type(spark, sf_dir):
     cfg = KLLConfig(k=KLL_K)
     est = sketch_quantiles(events, "value", QS, by=["event_type"],
                            method="kll", k=KLL_K)
-    exploded = est.select(
-        "event_type",
-        F.posexplode(F.col("quantiles")).alias("qi", "qv"))
-    # exact rank of each estimate
-    ranks = (events.join(F.broadcast(exploded), "event_type")
-             .groupBy("event_type", "qi")
-             .agg((F.sum((F.col("value") <= F.col("qv")).cast("long")) /
-                   F.count("*")).alias("rank")))
     tol = 3 * cfg.rank_error + 1e-9
-    qs_df = spark.createDataFrame([(i, q) for i, q in enumerate(QS)], "qi int, q double")
-    ok = (ranks.join(F.broadcast(qs_df), "qi")
-          .withColumn("ok", F.abs(F.col("rank") - F.col("q")) <= tol)
-          .groupBy("event_type")
-          .agg(F.min(F.col("ok").cast("int")).cast("boolean").alias("kll_ok")))
-    n = _read(spark, sf_dir, "events").groupBy("event_type").agg(F.count("*").alias("n"))
-    return n.join(ok, "event_type").select("event_type", "n", "kll_ok")
+    return _rank_bound_ok(events, "value", est.select("event_type", "quantiles"),
+                          ["event_type"], tol, "kll_ok")
 
 
 def q_tdigest_price_quantiles(spark, sf_dir):
@@ -209,16 +216,8 @@ def q_tdigest_price_quantiles(spark, sf_dir):
 
     li = _read(spark, sf_dir, "lineitem")
     est = sketch_quantiles(li, "l_extendedprice", QS, method="tdigest")
-    exploded = est.select(F.posexplode(F.col("quantiles")).alias("qi", "qv"))
-    ranks = (li.crossJoin(F.broadcast(exploded))
-             .groupBy("qi")
-             .agg((F.sum((F.col("l_extendedprice") <= F.col("qv")).cast("long")) /
-                   F.count("*")).alias("rank")))
-    qs_df = spark.createDataFrame([(i, q) for i, q in enumerate(QS)], "qi int, q double")
-    ok = (ranks.join(F.broadcast(qs_df), "qi")
-          .agg(F.min((F.abs(F.col("rank") - F.col("q")) <= 0.02).cast("int"))
-               .cast("boolean").alias("tdigest_ok")))
-    return li.agg(F.count("*").alias("n")).crossJoin(ok)
+    return _rank_bound_ok(li, "l_extendedprice", est.select("quantiles"),
+                          [], 0.02, "tdigest_ok")
 
 
 # --------------------------------------------------------------------------
@@ -513,22 +512,48 @@ def q_kll_value_by_type_day(spark, sf_dir):
     cfg = KLLConfig(k=KLL_K)
     est = sketch_quantiles(events, "value", QS, by=["event_type", "day"],
                            method="kll", k=KLL_K)
-    exploded = est.select("event_type", "day",
-                          F.posexplode(F.col("quantiles")).alias("qi", "qv"))
-    ranks = (events.join(F.broadcast(exploded), ["event_type", "day"])
-             .groupBy("event_type", "day", "qi")
-             .agg((F.sum((F.col("value") <= F.col("qv")).cast("long")) /
-                   F.count("*")).alias("rank")))
     tol = 3 * cfg.rank_error + 1e-9
-    qs_df = spark.createDataFrame([(i, q) for i, q in enumerate(QS)],
-                                  "qi int, q double")
-    ok = (ranks.join(F.broadcast(qs_df), "qi")
-          .withColumn("ok", F.abs(F.col("rank") - F.col("q")) <= tol)
-          .groupBy("event_type", "day")
-          .agg(F.min(F.col("ok").cast("int")).cast("boolean").alias("kll_ok")))
-    n = events.groupBy("event_type", "day").agg(F.count("*").alias("n"))
-    return n.join(ok, ["event_type", "day"]) \
-        .select("event_type", "day", "n", "kll_ok")
+    return _rank_bound_ok(
+        events, "value", est.select("event_type", "day", "quantiles"),
+        ["event_type", "day"], tol, "kll_ok")
+
+
+def q_hll_store_rollup(spark, sf_dir):
+    """Persistent sketch store end to end: documents are split into 3
+    deterministic increments (pmod of doc_id hash), each sketched ONCE and
+    persisted as per-source state rows; a cross-partition rollup answers
+    per-source doc NDV reading only state rows.  The query asserts the
+    rolled-up state is byte-identical to a one-shot build over all rows
+    (HLL union is a lossless monoid) AND that the estimate meets the
+    published bound vs the exact count."""
+    import tempfile
+
+    from python_hll_spark.operators.ndv import hll_ndv_column
+    from python_hll_spark.sketches.hll import HLLConfig
+    from python_hll_spark.sketches.specs import HLLSpec
+    from python_hll_spark.sources.store import SketchStore
+
+    cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "__part", F.pmod(F.xxhash64("doc_id"), F.lit(3)))
+    store = SketchStore(spark, tempfile.mkdtemp(prefix="hll_store_"),
+                        HLLSpec(cfg), ["source"], partition_col="p")
+    for p in range(3):
+        states = hll_ndv_column(docs.where(F.col("__part") == p), "doc_id",
+                                by=["source"], cfg=cfg)
+        store.write_partition(states, p)
+    rolled = store.ndv().select("source", "state", "ndv")
+    direct = hll_ndv_column(docs, "doc_id", by=["source"], cfg=cfg) \
+        .select("source", F.col("state").alias("dstate"))
+    exact = docs.groupBy("source").agg(
+        F.countDistinct("doc_id").alias("exact_ndv"))
+    tol = HLL_TOL * cfg.error_bound
+    return (exact.join(rolled.join(direct, "source"), "source")
+            .select("source", "exact_ndv",
+                    (F.col("state") == F.col("dstate"))
+                    .alias("store_bytes_match"),
+                    (F.abs(F.col("ndv") - F.col("exact_ndv"))
+                     <= tol * F.col("exact_ndv")).alias("hll_ok")))
 
 
 def q_near_dedup_documents(spark, sf_dir):
@@ -648,6 +673,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv_murmur3_interop": q_hll_ndv_murmur3_interop,
         "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
         "hll_rollup_union": q_hll_rollup_union,
+        "hll_store_rollup": q_hll_store_rollup,
         "hll_ndv_hourly_events": q_hll_ndv_hourly_events,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
         "cms_top_words_by_source": q_cms_top_words_by_source,
@@ -710,6 +736,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT COUNT(DISTINCT user_id) AS exact_ndv,
                    TRUE AS rollup_bytes_match, TRUE AS rollup_ok
             FROM events
+        """,
+        "hll_store_rollup": """
+            SELECT source, COUNT(DISTINCT doc_id) AS exact_ndv,
+                   TRUE AS store_bytes_match, TRUE AS hll_ok
+            FROM documents GROUP BY source
         """,
         "hll_ndv_hourly_events": """
             SELECT CAST(date_trunc('hour', ts) AS VARCHAR) AS hour,
