@@ -105,6 +105,87 @@ def stateful_hll_stream(stream_df: DataFrame, group_col: str, key_col: str,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stateful_topk_stream(stream_df: DataFrame, group_col: str, key_col: str,
+                         k: int = 10, depth: int = 5, width: int = 65536,
+                         capacity: int | None = None) -> DataFrame:
+    """Streaming heavy hitters per group via ``applyInPandasWithState``.
+
+    State per group = one CMS (for count estimates with the published
+    eps*N overcount bound) + a bounded SpaceSaving-style candidate summary
+    (same truncation argument as the batch ``cms_topk``: keys that can
+    reach the final top-k always survive the cap).  Candidate memory is
+    bounded at ``capacity`` keys (default 16k) regardless of how many
+    distinct keys stream through — the long-running-stream guarantee.
+
+    Keys are hashed JVM-side (xxhash64) before the state function; their
+    hashes ride along in the state so estimates never re-hash in Python.
+    Emits the current (group, key, est_count, n_rows) top-k per update,
+    ranked by CMS estimate with deterministic key tie-break.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from python_hll_spark.sketches.cms import CMSConfig, CMSSketch
+
+    cap = capacity or 16 * k
+    cfg = CMSConfig(depth=depth, width=width)
+
+    hashed = stream_df.select(F.col(group_col).alias("g"),
+                              F.col(key_col).cast("string").alias("key"),
+                              F.xxhash64(F.col(key_col)).alias("h"))
+
+    def update(gkey, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            blob, keys, counts, hashes, n_rows = state.get
+            cms = CMSSketch.from_bytes(bytes(blob))
+            summary = {kk: [c, h] for kk, c, h in zip(keys, counts, hashes)}
+        else:
+            cms, summary, n_rows = CMSSketch(cfg), {}, 0
+        for pdf in pdfs:
+            n_rows += len(pdf)
+            grouped = pdf.groupby("key", sort=False, dropna=False).agg(
+                cnt=("h", "size"), h=("h", "first"))
+            cms.update(grouped["h"].to_numpy(dtype=np.int64),
+                       weights=grouped["cnt"].to_numpy(dtype=np.int64))
+            for kk, cnt, h in zip(grouped.index, grouped["cnt"], grouped["h"]):
+                kk = None if pd.isna(kk) else kk
+                ent = summary.get(kk)
+                if ent is None:
+                    summary[kk] = [int(cnt), int(h)]
+                else:
+                    ent[0] += int(cnt)
+            if len(summary) > cap:
+                summary = dict(sorted(summary.items(),
+                                      key=lambda kv: -kv[1][0])[:cap])
+        keys = list(summary)
+        counts = [summary[kk][0] for kk in keys]
+        hashes = [summary[kk][1] for kk in keys]
+        state.update((cms.to_bytes(), keys, counts, hashes, n_rows))
+
+        est = cms.estimate(np.asarray(hashes, dtype=np.int64))
+        order = sorted(range(len(keys)),
+                       key=lambda i: (-int(est[i]), str(keys[i])))[:k]
+        yield pd.DataFrame({
+            "g": [gkey[0]] * len(order),
+            "key": [keys[i] for i in order],
+            "est_count": [int(est[i]) for i in order],
+            "n_rows": [n_rows] * len(order),
+        })
+
+    return (hashed.groupBy("g")
+            .applyInPandasWithState(
+                update,
+                outputStructType="g string, key string, est_count bigint, "
+                                 "n_rows bigint",
+                stateStructType="state binary, keys array<string>, "
+                                "counts array<bigint>, hashes array<bigint>, "
+                                "n_rows bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_ndv_stream(stream_df: DataFrame, ts_col: str, key_col: str,
                         window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Watermarked approximate NDV per event-time window using Spark's
