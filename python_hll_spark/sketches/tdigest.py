@@ -22,7 +22,12 @@ _MAGIC = b"TDG1"
 @dataclass(frozen=True)
 class TDigestConfig:
     compression: float = 100.0
-    buffer_factor: int = 5
+    # flush every buffer_factor*compression points: each flush costs one
+    # argsort + one O(compression) boundary scan, so a large buffer
+    # amortizes it (~160KB of float64 at the default) without touching
+    # the accuracy guarantee (merging-variant accuracy depends on the
+    # scale function, not the buffer size)
+    buffer_factor: int = 200
 
 
 def _k1(q: np.ndarray, d: float) -> np.ndarray:
@@ -53,26 +58,33 @@ class TDigestSketch:
             return
         order = np.argsort(means, kind="stable")
         means, weights = means[order], weights[order]
-        total = weights.sum()
+        total = float(weights.sum())
         d = self.cfg.compression
-        # single-pass greedy merge under the k1 size bound
+        # Greedy merge under the k1 size bound, one iteration per OUTPUT
+        # centroid (<= ~2*compression) instead of per input point: k1 is
+        # monotone, so "absorb points while k1(right_edge_q) <= k1(q0)+1"
+        # is exactly "absorb points whose cumulative weight <= q_limit",
+        # and the end of each centroid is a searchsorted on the prefix sums.
+        cw = np.cumsum(weights)
+        cmw = np.cumsum(weights * means)
         out_means, out_weights = [], []
-        cur_m, cur_w = means[0], weights[0]
-        q0 = 0.0
-        k_limit = _k1(np.array([q0]), d)[0] + 1.0
-        for m, w in zip(means[1:], weights[1:]):
-            q = (q0 + cur_w + w) / total
-            if _k1(np.array([q]), d)[0] <= k_limit:
-                cur_m += (m - cur_m) * (w / (cur_w + w))
-                cur_w += w
+        two_pi = 2.0 * math.pi
+        i, n = 0, len(means)
+        while i < n:
+            w0 = cw[i - 1] if i else 0.0
+            k_lim = (d / two_pi) * math.asin(
+                max(-1.0, min(1.0, 2.0 * (w0 / total) - 1.0))) + 1.0
+            if k_lim >= d / 4.0:
+                j = n
             else:
-                out_means.append(cur_m)
-                out_weights.append(cur_w)
-                q0 += cur_w
-                k_limit = _k1(np.array([q0 / total]), d)[0] + 1.0
-                cur_m, cur_w = m, w
-        out_means.append(cur_m)
-        out_weights.append(cur_w)
+                w_lim = total * (math.sin(two_pi * k_lim / d) + 1.0) / 2.0
+                j = int(np.searchsorted(cw, w_lim, side="right"))
+                j = max(j, i + 1)
+            w_slice = cw[j - 1] - w0
+            m0 = cmw[i - 1] if i else 0.0
+            out_means.append((cmw[j - 1] - m0) / w_slice)
+            out_weights.append(w_slice)
+            i = j
         self.means = np.array(out_means)
         self.weights = np.array(out_weights)
 
