@@ -453,18 +453,21 @@ def q_cms_top_words_by_source_lang(spark, sf_dir):
     words = docs.select("source", "lang",
                         F.explode(_norm_words(F.col("text"))).alias("w")).persist()
     cfg = CMSConfig(depth=5, width=65536)
-    got = cms_topk(words, ["source", "lang"], "w", k=2, cfg=cfg)
+    # 97 groups -> shared composite-key CMS (state independent of group
+    # count); the overcount bound is eps * N_TOTAL in this mode
+    got = cms_topk(words, ["source", "lang"], "w", k=2, cfg=cfg,
+                   shared_cms=True)
     exact = (words.groupBy("source", "lang", "w").agg(F.count("*").alias("cnt"))
              .select(F.col("source").alias("e_s"), F.col("lang").alias("e_l"),
                      F.col("w").alias("e_w"), "cnt"))
-    n_group = words.groupBy("source", "lang").agg(F.count("*").alias("n_g"))
+    n_total = words.select(F.count("*").alias("n_t"))
     checked = (got.join(exact, (F.col("key") == F.col("e_w"))
                         & (F.col("source") == F.col("e_s"))
                         & (F.col("lang") == F.col("e_l")))
                .drop("e_s", "e_l", "e_w")
-               .join(n_group, ["source", "lang"])
+               .crossJoin(F.broadcast(n_total))
                .withColumn("ok", (F.col("est_count") >= F.col("cnt")) &
-                           (F.col("est_count") - F.col("cnt") <= cfg.eps * F.col("n_g") + 1)))
+                           (F.col("est_count") - F.col("cnt") <= cfg.eps * F.col("n_t") + 1)))
     out = (checked.groupBy("source", "lang")
            .agg(F.max("cnt").alias("top1_cnt"),
                 F.min(F.col("ok").cast("int")).cast("boolean").alias("cms_ok")))

@@ -125,6 +125,9 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     from numpy.lib.stride_tricks import sliding_window_view
     from pyspark.sql import functions as FF
 
+    from python_hll_spark.operators.dedup import fan_out_small_input
+    df = fan_out_small_input(df)
+
     B_INT = 1000003
     M = 1 << 64
     BK = np.uint64(pow(B_INT, k, M))

@@ -30,10 +30,25 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
             .drop("__fp"))
 
 
+def fan_out_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY when the input has fewer partitions than cores.
+
+    Text-heavy stages (interpreted higher-order shingle expressions, Arrow
+    signature builds) are CPU-bound per partition; a small input that
+    arrives as one file would otherwise run single-threaded.  At 100 TB
+    inputs already carry thousands of partitions and this is a no-op —
+    no shuffle is ever added to an adequately-partitioned scan."""
+    target = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 # --------------------------------------------------------------- shingles
 def with_shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3,
                         id_col: str = "doc_id") -> DataFrame:
     """(id, shingles array<bigint>): xxhash64 of word n-grams, JVM-side."""
+    df = fan_out_small_input(df)
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     if n == 1:
         sh = F.transform(words, lambda w: F.xxhash64(w))
@@ -51,10 +66,17 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
 
     Arrow-native: shingle lists flatten zero-copy; per-doc minima come from
     ``np.minimum.reduceat`` segment reductions — one vector hash pass per
-    permutation across the whole batch, no per-row Python."""
+    permutation across the whole batch, no per-row Python.  The permutation
+    family is 2-universal multiply-add ``h_k(x) = A_k*x + B_k (mod 2^64)``
+    with odd ``A_k`` (a bijection): the shingle hashes are already
+    splitmix64-mixed, so one multiply+add per permutation replaces a full
+    6-op finalizer pass — 3x less work in the 128-pass hot loop."""
     import pyarrow as pa
 
     shingled = with_shingle_hashes(df, text_col, n, id_col)
+    ks = np.arange(1, num_hashes + 1, dtype=np.int64)
+    A = splitmix64(ks, seed=0xA5).view(np.uint64) | np.uint64(1)
+    B = splitmix64(ks, seed=0xB7).view(np.uint64)
 
     def compute(batches):
         for batch in batches:
@@ -71,17 +93,24 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
             n_docs = len(lengths)
             sig_mat = np.full((n_docs, num_hashes), np.iinfo(np.int64).max,
                               dtype=np.int64)
+            flat_u = flat.view(np.uint64)
+            buf = np.empty_like(flat_u)
             for k in range(num_hashes):
                 if len(flat):
-                    hk = splitmix64(flat, seed=k).view(np.uint64)
-                    mins = np.minimum.reduceat(hk, offsets)
+                    np.multiply(flat_u, A[k], out=buf)
+                    buf += B[k]
+                    mins = np.minimum.reduceat(buf, offsets)
                     sig_mat[nonempty, k] = mins.astype(np.int64)
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
+            sig_offsets = pa.array(
+                np.arange(0, (n_docs + 1) * num_hashes, num_hashes,
+                          dtype=np.int32))
+            sig_arr = pa.ListArray.from_arrays(sig_offsets,
+                                               pa.array(sig_mat.ravel()))
             yield pa.RecordBatch.from_arrays(
-                [ids, pa.array(list(sig_mat), pa.list_(pa.int64()))],
-                names=[id_col, "sig"])
+                [ids, sig_arr], names=[id_col, "sig"])
 
     id_type = dict(df.dtypes)[id_col]
     return shingled.mapInArrow(compute, schema=f"`{id_col}` {id_type}, sig array<bigint>")
@@ -205,6 +234,7 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     doc boundaries gives per-doc bit-vote sums; signatures re-assemble with
     ``np.packbits``.  Chunked at doc boundaries so the bit matrix stays
     ~8 MB regardless of batch size."""
+    df = fan_out_small_input(df)
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
     hashed = df.select(F.col(id_col),
                        F.transform(words, lambda w: F.xxhash64(w)).alias("wh"))

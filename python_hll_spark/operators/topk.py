@@ -30,12 +30,21 @@ def _hash_keys(keys: np.ndarray) -> np.ndarray:
 
 
 def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
-             cfg: CMSConfig | None = None, candidates_per_task: int = 64) -> DataFrame:
+             cfg: CMSConfig | None = None, candidates_per_task: int = 64,
+             shared_cms: bool = False) -> DataFrame:
     """Top-k ``key_col`` values per group with CMS frequency estimates.
 
     Works for any orderable key type: the CMS ingests the JVM-side
     ``xxhash64`` of the key; candidates carry the original key value.
     Returns (group..., key <input type>, est_count bigint, rank int).
+
+    ``shared_cms=True`` is the HIGH-GROUP-ARITY mode: instead of one CMS
+    per group (state = depth*width*8 bytes PER GROUP — at 10^3+ groups the
+    partial shuffle is groups x MBs per task), a single CMS counts the
+    composite ``xxhash64(group..., key)`` pair, making state size
+    independent of group count.  Trade-off: the overcount bound becomes
+    eps * N_TOTAL rather than eps * N_group.  Use it when groups are many
+    and per-group volume is a small share of the stream.
     """
     cfg = cfg or CMSConfig(depth=5, width=65536)
     spec = CMSSpec(cfg)
@@ -48,17 +57,29 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
     # always survive; their final counts come from the CMS anyway.
     cap = 4 * cand_c
 
+    if shared_cms:
+        cms_hash = F.xxhash64(*[F.col(c) for c in group_cols], F.col(key_col))
+    else:
+        cms_hash = F.xxhash64(F.col(key_col))
     pruned = df.select(*group_cols, F.col(key_col).alias("__key"),
-                       F.xxhash64(F.col(key_col)).alias("__kh"))
+                       cms_hash.alias("__kh"))
     key_type = dict(pruned.dtypes)["__key"]
 
     # -- CMS partials + candidates, both Arrow-native ------------------------
     from python_hll_spark.operators.aggregate import (
         SplitmixSpec, dict_encode_groups, scalar_partials_arrow)
 
-    partials = scalar_partials_arrow(pruned.drop("__key"), group_cols,
-                                     "__kh", SplitmixSpec(spec))
-    states = merge_sketches(partials, group_cols, spec)
+    if shared_cms:
+        partials = scalar_partials_arrow(
+            pruned.drop("__key").withColumn("__g", F.lit(0)), ["__g"],
+            "__kh", SplitmixSpec(spec))
+        states = merge_sketches(partials, ["__g"], spec).drop("__g")
+        state_group_cols: list[str] = []
+    else:
+        partials = scalar_partials_arrow(pruned.drop("__key"), group_cols,
+                                         "__kh", SplitmixSpec(spec))
+        states = merge_sketches(partials, group_cols, spec)
+        state_group_cols = list(group_cols)
 
     group_fields = [f"`{f.name}` {f.dataType.simpleString()}"
                     for f in pruned.schema.fields if f.name in group_cols]
@@ -115,41 +136,64 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
         yield pa.RecordBatch.from_arrays(
             arrays, names=group_cols + ["key", "local_count"])
 
+    if shared_cms:
+        cand_hash = F.xxhash64(*[F.col(c) for c in group_cols], F.col("key"))
+    else:
+        cand_hash = F.xxhash64(F.col("key"))
     candidates = (pruned.drop("__kh")
                   .mapInArrow(local_candidates, schema=cand_schema)
                   .groupBy(*group_cols, "key")
                   .agg(F.sum("local_count").alias("cand_count"))
-                  .withColumn("__kh", F.xxhash64(F.col("key"))))
+                  .withColumn("__kh", cand_hash))
 
     # -- estimate candidates against the merged per-group CMS ----------------
-    @F.pandas_udf(LongType())
-    def cms_estimate(state: pd.Series, key_hash: pd.Series) -> pd.Series:
-        from python_hll_spark.sketches.cms import CMSSketch
-        out = np.empty(len(key_hash), dtype=np.int64)
-        # group probe keys by state blob (few distinct groups per batch)
-        frame = pd.DataFrame({"s": state.map(bytes), "k": key_hash})
-        for blob, sub in frame.groupby("s", sort=False):
-            sk = CMSSketch.from_bytes(blob)
-            est = sk.estimate(_hash_keys(sub["k"].to_numpy(dtype=np.int64)))
-            out[sub.index.to_numpy()] = est
-        return pd.Series(out)
+    # A CMS state is depth*width*8 bytes (MBs at default width): joining it
+    # as a DataFrame column would duplicate those MBs onto EVERY candidate
+    # row through Arrow (at 97 groups x 256 candidates that is tens of GB
+    # for a toy input).  Instead the per-group state table — one small blob
+    # per group — is collected and sc.broadcast as a dict, and candidates
+    # probe it inside mapInPandas (same pattern as membership.bloom_probe).
+    import pandas as pd
 
-    # null-safe equi-join: NULL group values are valid groups (Spark groupBy
-    # semantics) and must still match their CMS state row
-    cand = candidates.alias("cand")
-    st = F.broadcast(states.select(*group_cols, "state")).alias("st")
-    if group_cols:
-        cond = None
-        for c in group_cols:
-            clause = F.col(f"cand.{c}").eqNullSafe(F.col(f"st.{c}"))
-            cond = clause if cond is None else (cond & clause)
-        joined = cand.join(st, on=cond, how="inner").select(
-            *[F.col(f"cand.{c}").alias(c) for c in group_cols],
-            "cand.key", "cand.cand_count", "cand.__kh", "st.state")
-    else:
-        joined = cand.crossJoin(st)
-    estimated = joined.withColumn("est_count",
-                                  cms_estimate(F.col("state"), F.col("__kh")))
+    spark = df.sparkSession
+    states_local = {
+        tuple(r[c] for c in state_group_cols): bytes(r["state"])
+        for r in states.select(*state_group_cols, "state").collect()}
+    bstates = spark.sparkContext.broadcast(states_local)
+    gcols = state_group_cols
+
+    def probe(pdf_iter):
+        from python_hll_spark.sketches.cms import CMSSketch
+        cache: dict = {}
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            est = np.zeros(len(pdf), dtype=np.int64)
+            if gcols:
+                # normalize pandas NaN back to None so NULL groups hit
+                # their state row (Spark groupBy keeps NULL groups)
+                gtuples = [tuple(None if pd.isna(v) else v for v in t)
+                           for t in pdf[gcols].itertuples(index=False)]
+            else:
+                gtuples = [()] * len(pdf)
+            by_group: dict = {}
+            for i, gt in enumerate(gtuples):
+                by_group.setdefault(gt, []).append(i)
+            hashes = pdf["__kh"].to_numpy(dtype=np.int64)
+            for gt, idx in by_group.items():
+                blob = bstates.value.get(gt)
+                if blob is None:
+                    continue
+                sk = cache.get(gt)
+                if sk is None:
+                    sk = cache[gt] = CMSSketch.from_bytes(blob)
+                est[idx] = sk.estimate(_hash_keys(hashes[idx]))
+            yield pdf.assign(est_count=est)
+
+    est_schema = ", ".join(
+        [f"`{f.name}` {f.dataType.simpleString()}"
+         for f in candidates.schema.fields] + ["est_count bigint"])
+    estimated = candidates.mapInPandas(probe, schema=est_schema)
 
     from pyspark.sql import Window
     w = (Window.partitionBy(*[F.col(c) for c in group_cols])

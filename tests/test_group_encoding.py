@@ -118,6 +118,30 @@ def test_cms_topk_composite_groups_and_nulls(spark):
         assert r["est_count"] >= 100
 
 
+def test_cms_topk_shared_cms_matches_per_group(spark):
+    """High-group-arity mode: one composite-key CMS instead of per-group
+    states.  Same top-k selection as per-group mode on collision-free data,
+    including NULL groups and NULL keys."""
+    from python_hll_spark.operators.topk import cms_topk
+
+    rows = []
+    for g1 in ["a", "b", None]:
+        for g2 in [1, 2]:
+            heavy = f"HH-{g1}-{g2}"
+            rows += [(g1, g2, heavy)] * 100
+            rows += [(g1, g2, f"w{i}") for i in range(30)]
+    rows += [(None, 1, None)] * 40  # NULL key in a NULL group
+    df = spark.createDataFrame(rows, "g1 string, g2 int, w string")
+    got = cms_topk(df, ["g1", "g2"], "w", k=1, shared_cms=True).collect()
+    assert len(got) == 6
+    for r in got:
+        if r["g1"] is None and r["g2"] == 1:
+            assert r["key"] == "HH-None-1"  # 100 beats the 40 NULL keys
+        else:
+            assert r["key"] == f"HH-{r['g1']}-{r['g2']}"
+        assert r["est_count"] >= 100
+
+
 def test_cms_topk_null_keys(spark):
     """NULL key values form a countable candidate (Spark groupBy semantics)."""
     from python_hll_spark.operators.topk import cms_topk
