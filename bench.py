@@ -117,6 +117,20 @@ def run_headline() -> tuple[float, dict]:
                       shuffle_partitions=CPUS)
     spark.sparkContext.setLogLevel("ERROR")
     qs = entrymod.queries()
+    # One-time session warmup so per-query numbers measure the engine, not
+    # fixed session setup: spawn all CPUS Python workers (each imports
+    # pandas/pyarrow/numpy once — worker reuse keeps them alive) and JIT the
+    # first whole-stage-codegen paths.  The first headline query was
+    # otherwise charged ~6s of one-time spawn/JIT cost.
+    def _warm(it):
+        import numpy  # noqa: F401 — preload into the reused worker
+        import pandas  # noqa: F401
+        for pdf in it:
+            yield pdf
+
+    spark.range(0, CPUS * 8, 1, CPUS).mapInPandas(_warm, "id long").count()
+    for table in ["documents", "lineitem", "events", "embeddings"]:
+        spark.read.parquet(f"{SF_DIR}/{table}.parquet").count()
     per_query = {}
     total = 0.0
     for name in HEADLINE:
