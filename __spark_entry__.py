@@ -599,6 +599,30 @@ def q_simhash_dup_invariant(spark, sf_dir):
                     .alias("dup_hamming_zero")))
 
 
+def q_near_dedup_dup_invariant(spark, sf_dir):
+    """Near-dedup correctness invariant, oracle-checked: inject an EXACT
+    copy of every doc under a shifted id.  Exact copies share every MinHash
+    band, so each (doc, copy) pair always lands in one LSH cluster and
+    near_dedup must keep at most one of the pair (zero when the cluster's
+    min-id representative is a third document).  Exercises signatures,
+    banding, bucket join, connected components and representative-keep
+    end-to-end with a SQL-expressible expected output."""
+    from python_hll_spark.operators.dedup import near_dedup
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    kept = near_dedup(docs.unionByName(shifted), threshold=0.9,
+                      num_hashes=64, bands=16).select("doc_id")
+    orig = F.when(F.col("doc_id") >= 1000000,
+                  F.col("doc_id") - 1000000).otherwise(F.col("doc_id"))
+    survivors = (kept.select(orig.alias("doc_id"))
+                 .groupBy("doc_id").agg(F.count("*").alias("n_kept")))
+    return (docs.select("doc_id").join(survivors, "doc_id", "left")
+            .select("doc_id",
+                    (F.coalesce(F.col("n_kept"), F.lit(0)) <= 1)
+                    .alias("pair_collapsed")))
+
+
 def q_winnowing_dup_invariant(spark, sf_dir):
     """Winnowing invariants, oracle-checked: identical text -> identical
     fingerprint set; fingerprint count bounded by the k-gram count; plus
@@ -700,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_recall": q_embedding_dup_recall,
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
         "near_dedup_documents": q_near_dedup_documents,
+        "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
         "winnowing_documents": q_winnowing_documents,
         "token_profile_seqs": q_token_profile_seqs,
         "prepare_corpus_documents": q_prepare_corpus_documents,
@@ -854,6 +879,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "simhash_dup_invariant": """
             SELECT doc_id, TRUE AS dup_hamming_zero FROM documents
+        """,
+        "near_dedup_dup_invariant": """
+            SELECT doc_id, TRUE AS pair_collapsed FROM documents
         """,
         "winnowing_dup_invariant": """
             SELECT doc_id,

@@ -41,3 +41,23 @@ def read_seqs(spark: SparkSession, path: str | None = None,
     else:
         raise ValueError("pass either table= (Iceberg) or path= (parquet)")
     return df.select(*[c for c in SEQS_COLUMNS if c in df.columns])
+
+
+def write_bucketed(df: DataFrame, table_name: str, bucket_col: str,
+                   n_buckets: int = 64, sort_col: str | None = None,
+                   mode: str = "overwrite") -> None:
+    """Persist a table bucketed (and optionally sorted) by a join/group key.
+
+    Bucketing is the 100 TB co-location lever Spark gives tables that are
+    joined or grouped repeatedly on the same key: both sides of an
+    equi-join on ``bucket_col`` (with matching bucket counts) scan
+    pre-shuffled data, so the join plans with ZERO Exchange — at cluster
+    scale that deletes the dominant all-to-all network step.  On Iceberg
+    the same lever is the bucket partition transform
+    (``PARTITIONED BY (bucket(N, col))``); this writes a Spark-native
+    bucketed table into the session warehouse (works in-sandbox).
+    """
+    writer = df.write.bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        writer = writer.sortBy(sort_col)
+    writer.mode(mode).format("parquet").saveAsTable(table_name)
