@@ -186,6 +186,53 @@ def stateful_topk_stream(stream_df: DataFrame, group_col: str, key_col: str,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def stateful_quantiles_stream(stream_df: DataFrame, group_col: str,
+                              value_col: str,
+                              qs: tuple = (0.25, 0.5, 0.75),
+                              k: int = 200) -> DataFrame:
+    """Streaming quantile profiles per group: one KLL sketch per group in
+    Spark's streaming state store (``applyInPandasWithState``), emitting
+    the current quantile estimates on every update.  Completes the
+    streaming trio (NDV: ``stateful_hll_stream``, heavy hitters:
+    ``stateful_topk_stream``) — all three ride the same mergeable-state
+    design, so a restart resumes from the checkpointed sketch bytes."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    from python_hll_spark.sketches.kll import KLLConfig, KLLSketch
+
+    qlist = [float(q) for q in qs]
+    typed = stream_df.select(F.col(group_col).alias("g"),
+                             F.col(value_col).cast("double").alias("v"))
+
+    def update(gkey, pdfs, state: GroupState):
+        import numpy as np
+
+        if state.exists:
+            blob, n_rows = state.get
+            sk = KLLSketch.from_bytes(bytes(blob))
+        else:
+            sk, n_rows = KLLSketch(KLLConfig(k=k)), 0
+        for pdf in pdfs:
+            vals = pdf["v"].to_numpy(dtype=np.float64)
+            sk.update(vals[~np.isnan(vals)])
+            n_rows += len(pdf)
+        state.update((sk.to_bytes(), n_rows))
+        est = sk.quantile(np.asarray(qlist))
+        yield pd.DataFrame({"g": [gkey[0]],
+                            "quantiles": [[float(x) for x in est]],
+                            "n_rows": [n_rows]})
+
+    return (typed.groupBy("g")
+            .applyInPandasWithState(
+                update,
+                outputStructType="g string, quantiles array<double>, "
+                                 "n_rows bigint",
+                stateStructType="state binary, n_rows bigint",
+                outputMode="update",
+                timeoutConf=GroupStateTimeout.NoTimeout))
+
+
 def windowed_ndv_stream(stream_df: DataFrame, ts_col: str, key_col: str,
                         window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Watermarked approximate NDV per event-time window using Spark's

@@ -83,6 +83,43 @@ def test_stateful_topk_candidate_memory_bounded(spark, tmp_path):
     assert final[0]["est_count"] >= 500
 
 
+def test_stateful_quantiles_stream_within_bound(spark, tmp_path):
+    """Streaming KLL quantiles: final per-group estimates within the
+    sketch's rank-error bound of exact."""
+    import numpy as np
+
+    from python_hll_spark.sketches.kll import KLLConfig
+    from python_hll_spark.streaming.stream import stateful_quantiles_stream
+
+    rng = np.random.default_rng(11)
+    rows = [("g0", float(v)) for v in rng.uniform(0, 100, 3000)] + \
+           [("g1", float(v)) for v in rng.lognormal(0, 1, 3000)]
+    df = spark.createDataFrame(rows, "grp string, value double")
+    src = str(tmp_path / "q_stream")
+    df.repartition(5).write.parquet(src)
+
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 2).parquet(src))
+    out = stateful_quantiles_stream(stream, "grp", "value", k=200)
+    q = (out.writeStream.format("memory").queryName("sq")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    final = {r["g"]: r["quantiles"] for r in spark.sql("""
+        SELECT * FROM (SELECT *, DENSE_RANK() OVER
+            (PARTITION BY g ORDER BY n_rows DESC) rn FROM sq)
+        WHERE rn = 1""").collect()}
+    tol = 3 * KLLConfig(k=200).rank_error + 1e-9
+    by_g = {}
+    for g, v in rows:
+        by_g.setdefault(g, []).append(v)
+    for g, est in final.items():
+        vals = np.sort(np.array(by_g[g]))
+        for q_, e in zip((0.25, 0.5, 0.75), est):
+            rank = np.searchsorted(vals, e) / len(vals)
+            assert abs(rank - q_) <= tol, (g, q_, e, rank)
+
+
 def test_streaming_sketch_build_cms_matches_batch(spark, tmp_path):
     """The foreachBatch incremental design is spec-generic: a CMS state
     built across micro-batches is byte-identical to a one-shot batch build
