@@ -11,7 +11,6 @@ Catalyst shuffles like any other join key.
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 

@@ -3,13 +3,10 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import BooleanType
 
 from python_hll_spark.functions.hashing import splitmix64
-from python_hll_spark.operators.aggregate import sketch_global, sketch_groupby
 from python_hll_spark.sketches.bloom import BloomConfig
 from python_hll_spark.sketches.specs import BloomSpec
 

@@ -8,7 +8,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, DoubleType
 
-from python_hll_spark.operators.aggregate import sketch_global, sketch_groupby
 from python_hll_spark.sketches.kll import KLLConfig
 from python_hll_spark.sketches.specs import KLLSpec, TDigestSpec
 from python_hll_spark.sketches.tdigest import TDigestConfig

@@ -15,10 +15,9 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
 
 from python_hll_spark.functions.hashing import splitmix64
-from python_hll_spark.operators.aggregate import merge_sketches, sketch_partials
+from python_hll_spark.operators.aggregate import merge_sketches
 from python_hll_spark.sketches.cms import CMSConfig
 from python_hll_spark.sketches.specs import CMSSpec
 
