@@ -108,6 +108,22 @@ def test_crashed_write_leaves_no_partition(spark, tmp_path, docs3):
     assert st.ndv(partitions=[1]).count() == 3
 
 
+def test_rollup_plan_shape(spark, tmp_path, docs3):
+    """100 TB contract: a rollup's scan reads ONLY the state-row columns it
+    needs (column-pruned parquet), and the only exchange in the plan moves
+    those tiny state rows into the merge — never raw data."""
+    st = _store(spark, tmp_path)
+    for day in range(3):
+        st.write_partition(_states(docs3.where(F.col("day") == day)), day)
+    plan = st.rollup()._jdf.queryExecution().executedPlan().toString()
+    # scan is pruned to the merge inputs (no ndv column read back)
+    assert "ReadSchema" in plan
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "state" in read_schema and "ndv" not in read_schema
+    # exactly one exchange: the state-row groupBy feeding the merge
+    assert plan.count("Exchange") == 1
+
+
 def test_rollup_rejects_unknown_column(spark, tmp_path, docs3):
     st = _store(spark, tmp_path)
     st.write_partition(_states(docs3.where(F.col("day") == 0)), 0)
