@@ -559,6 +559,39 @@ def q_hll_store_rollup(spark, sf_dir):
                      <= tol * F.col("exact_ndv")).alias("hll_ok")))
 
 
+def q_sample_counts_by_source(spark, sf_dir):
+    """Deterministic exactly-k per-group uniform sample (bottom-k of the
+    id hash): per-source sampled counts are exactly least(k, group size),
+    partitioning-independent."""
+    from python_hll_spark.operators.sampling import bottomk_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    s = bottomk_sample(docs, 10, id_col="doc_id", by=["source"], seed=7)
+    return s.groupBy("source").agg(F.count("*").alias("n_sampled"))
+
+
+def q_hash_split_documents(spark, sf_dir):
+    """Deterministic train/val/test hash split (pure projection, zero
+    shuffle): per-split row share within 4 sigma of the requested
+    fraction.  Membership is stable under appends/repartitions/reruns."""
+    from python_hll_spark.operators.sampling import hash_split
+
+    fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+    docs = _read(spark, sf_dir, "documents")
+    split = hash_split(docs, fr, id_col="doc_id", seed=3)
+    counts = split.groupBy("split").agg(F.count("*").alias("n"))
+    total = docs.select(F.count("*").alias("n_total"))
+    frac = F.create_map(*[x for kv in fr.items()
+                          for x in (F.lit(kv[0]), F.lit(kv[1]))])
+    return (counts.crossJoin(F.broadcast(total))
+            .withColumn("__f", frac[F.col("split")])
+            .select("split",
+                    (F.abs(F.col("n") / F.col("n_total") - F.col("__f"))
+                     <= 4 * F.sqrt(F.col("__f") * (1 - F.col("__f"))
+                                   / F.col("n_total")) + 1 / F.col("n_total"))
+                    .alias("frac_ok")))
+
+
 def q_near_dedup_documents(spark, sf_dir):
     """Near-duplicate removal end to end (MinHash-LSH -> connected
     components -> keep representative); hash-seeded, rows-only check."""
@@ -725,6 +758,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
         "near_dedup_documents": q_near_dedup_documents,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
+        "sample_counts_by_source": q_sample_counts_by_source,
+        "hash_split_documents": q_hash_split_documents,
         "winnowing_documents": q_winnowing_documents,
         "token_profile_seqs": q_token_profile_seqs,
         "prepare_corpus_documents": q_prepare_corpus_documents,
@@ -882,6 +917,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dedup_dup_invariant": """
             SELECT doc_id, TRUE AS pair_collapsed FROM documents
+        """,
+        "sample_counts_by_source": """
+            SELECT source, LEAST(10, COUNT(*)) AS n_sampled
+            FROM documents GROUP BY source
+        """,
+        "hash_split_documents": """
+            SELECT 'train' AS split, TRUE AS frac_ok
+            UNION ALL SELECT 'val', TRUE
+            UNION ALL SELECT 'test', TRUE
         """,
         "winnowing_dup_invariant": """
             SELECT doc_id,

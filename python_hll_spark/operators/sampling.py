@@ -1,0 +1,61 @@
+"""Deterministic sampling and splitting for training-data pipelines.
+
+Both operators are pure functions of (row identity, seed) — re-running on
+the same table, any cluster size, any partitioning, reproduces the exact
+same sample/split.  That determinism is what makes 100 TB pipelines
+debuggable: a sampled shard can be regenerated months later for audit.
+
+- ``bottomk_sample``: exactly-k uniform sample per group via the bottom-k
+  of ``xxhash64(id, seed)``.  Hash order is a uniform random order, so the
+  k smallest hashes are a uniform k-subset (the classic bottom-k sketch
+  argument).  One shuffle (the per-group top-k window); candidates can be
+  pre-pruned per partition so only ~k rows per task reach it.
+- ``hash_split``: assign each row to train/val/test (or any named
+  fractions) by bucketing ``xxhash64(id, seed)`` — no shuffle at all, the
+  assignment is a JVM-codegen projection.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id",
+                   by: list[str] | None = None, seed: int = 0) -> DataFrame:
+    """Exactly min(k, group size) rows per group, uniformly at random,
+    deterministic in (id, seed).  Returns the original columns."""
+    by = by or []
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+         .orderBy(h.asc(), F.col(id_col).asc()))
+    return (df.withColumn("__rk", F.row_number().over(w))
+            .where(F.col("__rk") <= k).drop("__rk"))
+
+
+def hash_split(df: DataFrame, fractions: dict[str, float],
+               id_col: str = "doc_id", seed: int = 0,
+               split_col: str = "split") -> DataFrame:
+    """Deterministic named splits (e.g. {"train": .98, "val": .01,
+    "test": .01}) — a pure projection, no shuffle.  Fractions must sum to
+    1 (±1e-9); rows land in a split by the bucket their id-hash falls in,
+    so membership is stable under appends, repartitions and reruns."""
+    total = sum(fractions.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"fractions sum to {total}, expected 1.0")
+    if not fractions:
+        raise ValueError("fractions must not be empty")
+    # map the signed 64-bit hash to [0, 1): h/2^64 + 0.5 (double arithmetic;
+    # 53-bit mantissa granularity is far below any useful split fraction)
+    u = (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+         / F.lit(float(2 ** 64)) + F.lit(0.5))
+    expr = None
+    acc = 0.0
+    names = list(fractions)
+    for name in names[:-1]:
+        acc += fractions[name]
+        clause = F.when(u < F.lit(acc), F.lit(name))
+        expr = clause if expr is None else expr.when(u < F.lit(acc), F.lit(name))
+    last = F.lit(names[-1])
+    expr = last if expr is None else expr.otherwise(last)
+    return df.withColumn(split_col, expr)

@@ -1,0 +1,68 @@
+"""Deterministic sampling/splitting operators."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from python_hll_spark.operators.sampling import bottomk_sample, hash_split
+
+
+@pytest.fixture()
+def ids(spark):
+    return spark.range(0, 5000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 4).cast("string").alias("source"))
+
+
+def test_bottomk_exact_count_and_deterministic(spark, ids):
+    s1 = bottomk_sample(ids, 25, by=["source"], seed=7)
+    s2 = bottomk_sample(ids.repartition(13), 25, by=["source"], seed=7)
+    a = sorted(r["doc_id"] for r in s1.collect())
+    b = sorted(r["doc_id"] for r in s2.collect())
+    assert a == b  # partitioning-independent
+    per = {r["source"]: r["n"] for r in
+           s1.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert per == {"0": 25, "1": 25, "2": 25, "3": 25}
+
+
+def test_bottomk_small_group_takes_all(spark):
+    df = spark.createDataFrame([(f"d{i}", "g") for i in range(3)],
+                               "doc_id string, source string")
+    assert bottomk_sample(df, 10, by=["source"]).count() == 3
+
+
+def test_bottomk_roughly_uniform(spark, ids):
+    """Sampled numeric ids should cover the range, not cluster."""
+    s = bottomk_sample(ids, 500, by=[], seed=1)
+    nums = [int(r["doc_id"][1:]) for r in s.collect()]
+    assert len(nums) == 500
+    mean = sum(nums) / len(nums)
+    assert 2000 < mean < 3000  # population mean 2499.5
+
+
+def test_hash_split_stable_under_append(spark, ids):
+    base = hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    assign1 = {r["doc_id"]: r["split"] for r in base.collect()}
+    more = spark.range(5000, 6000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit("9").alias("source"))
+    again = hash_split(ids.unionByName(more),
+                       {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
+    assign2 = {r["doc_id"]: r["split"] for r in again.collect()}
+    for k, v in assign1.items():
+        assert assign2[k] == v  # appends never move existing rows
+    # fractions roughly honored
+    counts = {r["split"]: r["n"] for r in
+              again.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert abs(counts["train"] / 6000 - 0.8) < 0.03
+    assert set(counts) == {"train", "val", "test"}
+
+
+def test_hash_split_no_shuffle(spark, ids):
+    plan = hash_split(ids, {"a": 0.5, "b": 0.5}) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+def test_hash_split_validates_fractions(spark, ids):
+    with pytest.raises(ValueError, match="sum"):
+        hash_split(ids, {"train": 0.5, "test": 0.2})
