@@ -24,13 +24,22 @@ from pyspark.sql import functions as F
 def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id",
                    by: list[str] | None = None, seed: int = 0) -> DataFrame:
     """Exactly min(k, group size) rows per group, uniformly at random,
-    deterministic in (id, seed).  Returns the original columns."""
+    deterministic in (id, seed).  Returns the original columns.
+
+    100 TB shape: the ranking window shuffles only the NARROW
+    (group, id, hash) projection — wide payload columns (document text,
+    token arrays) never move; winners (<= k x groups ids, tiny by
+    definition) broadcast back as a semi-join.  Assumes ``id_col`` is
+    unique per row (duplicate ids would all survive the semi-join)."""
     by = by or []
     h = F.xxhash64(F.col(id_col), F.lit(seed))
     w = (Window.partitionBy(*[F.col(c) for c in by])
          .orderBy(h.asc(), F.col(id_col).asc()))
-    return (df.withColumn("__rk", F.row_number().over(w))
-            .where(F.col("__rk") <= k).drop("__rk"))
+    winners = (df.select(*by, id_col)
+               .withColumn("__rk", F.row_number().over(w))
+               .where(F.col("__rk") <= k)
+               .select(id_col))
+    return df.join(F.broadcast(winners), id_col, "left_semi")
 
 
 def hash_split(df: DataFrame, fractions: dict[str, float],

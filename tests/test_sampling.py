@@ -39,6 +39,17 @@ def test_bottomk_roughly_uniform(spark, ids):
     assert 2000 < mean < 3000  # population mean 2499.5
 
 
+def test_bottomk_plan_narrow_window_broadcast_semijoin(spark):
+    """The ranking window must scan only (group, id) — wide payload columns
+    never shuffle — and winners come back as a broadcast semi-join."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = bottomk_sample(docs, 5, by=["source"]) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan and "Broadcast" in plan
+    schemas = [seg.splitlines()[0] for seg in plan.split("ReadSchema:")[1:]]
+    assert any("text" not in s for s in schemas), schemas
+
+
 def test_hash_split_stable_under_append(spark, ids):
     base = hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
     assign1 = {r["doc_id"]: r["split"] for r in base.collect()}
