@@ -559,6 +559,42 @@ def q_hll_store_rollup(spark, sf_dir):
                      <= tol * F.col("exact_ndv")).alias("hll_ok")))
 
 
+def q_repetition_stats_documents(spark, sf_dir):
+    """Gopher-style repetition filter signals, integer-exact vs oracle."""
+    from python_hll_spark.functions.text import repetition_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    r = repetition_stats(docs)
+    return r.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("n_distinct_words").cast("long").alias("n_distinct_words"),
+        (F.col("n_words") - F.col("n_distinct_words")).cast("long")
+        .alias("n_dup_words"),
+        F.col("top_word_count").cast("long").alias("top_word_count"))
+
+
+def q_unigram_logprob_documents(spark, sf_dir):
+    """CCNet-style corpus-self unigram scoring: integer companion column
+    (sum of corpus frequencies over the doc's words) is SQL-exact; the
+    float mean-log-prob is range-sanity-checked (float sum ordering is not
+    bit-reproducible across engines)."""
+    from python_hll_spark.functions.text import unigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(_norm_words(F.col("text")))).alias("t")).collect()[0]["t"]
+    lp = unigram_logprob(docs)
+    import math
+    lo = math.log10(1.0 / total) - 1e-6
+    return lp.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        F.col("sum_corpus_freq").cast("long").alias("sum_corpus_freq"),
+        ((F.col("mean_log10_prob") >= lo) & (F.col("mean_log10_prob") <= 0))
+        .alias("lp_in_range"))
+
+
 def q_sample_counts_by_source(spark, sf_dir):
     """Deterministic exactly-k per-group uniform sample (bottom-k of the
     id hash): per-source sampled counts are exactly least(k, group size),
@@ -759,6 +795,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_documents": q_near_dedup_documents,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
         "sample_counts_by_source": q_sample_counts_by_source,
+        "repetition_stats_documents": q_repetition_stats_documents,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
         "winnowing_documents": q_winnowing_documents,
         "token_profile_seqs": q_token_profile_seqs,
@@ -921,6 +959,27 @@ def oracle_sql() -> dict[str, str]:
         "sample_counts_by_source": """
             SELECT source, LEAST(10, COUNT(*)) AS n_sampled
             FROM documents GROUP BY source
+        """,
+        "repetition_stats_documents": """
+            WITH w AS (SELECT doc_id,
+                       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+                       FROM documents),
+                 per AS (SELECT doc_id, w, COUNT(*) AS c FROM w GROUP BY doc_id, w)
+            SELECT doc_id, SUM(c)::BIGINT AS n_words,
+                   COUNT(*)::BIGINT AS n_distinct_words,
+                   (SUM(c) - COUNT(*))::BIGINT AS n_dup_words,
+                   MAX(c)::BIGINT AS top_word_count
+            FROM per GROUP BY doc_id
+        """,
+        "unigram_logprob_documents": """
+            WITH w AS (SELECT doc_id,
+                       unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+                       FROM documents),
+                 freq AS (SELECT w, COUNT(*) AS cnt FROM w GROUP BY w)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_words,
+                   SUM(cnt)::BIGINT AS sum_corpus_freq,
+                   TRUE AS lp_in_range
+            FROM w JOIN freq USING (w) GROUP BY doc_id
         """,
         "hash_split_documents": """
             SELECT 'train' AS split, TRUE AS frac_ok

@@ -102,6 +102,52 @@ def doc_fingerprint(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+def _norm_word_array(text: Column) -> Column:
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+
+
+def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
+    """Gopher-style repetition signals per doc: duplicate-word fraction
+    (1 - distinct/total over normalized words) and the count of the most
+    frequent word.  Pure JVM array expressions — deterministic and exactly
+    mirrorable in SQL, so repetition FILTERS (e.g. drop docs with
+    dup_word_frac > 0.5) are oracle-checkable."""
+    words = _norm_word_array(F.col(text_col))
+    n = F.size(words)
+    n_distinct = F.size(F.array_distinct(words))
+    top_word_cnt = F.array_max(F.transform(
+        F.array_distinct(words),
+        lambda w: F.size(F.filter(words, lambda x: x == w))))
+    return df.select(
+        F.col(id_col), n.alias("n_words"), n_distinct.alias("n_distinct_words"),
+        F.round(1.0 - n_distinct.cast("double") / n, 6).alias("dup_word_frac"),
+        top_word_cnt.alias("top_word_count"))
+
+
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+    """CCNet-style corpus-self unigram log-probability per doc: build the
+    corpus word-frequency table once (an aggregation, not a model), then
+    score each doc by the mean log10 probability of its words.  Low scores
+    flag gibberish/rare-token docs exactly the way an LM-perplexity filter
+    does, without any external model.  All JVM-side: explode -> count ->
+    join -> mean.  The frequency-table join is left to AQE: at test scale
+    it auto-broadcasts; at web scale (10^8-word vocabularies are too big to
+    broadcast) it stays a shuffle join on the word key."""
+    words = df.select(F.col(id_col),
+                      F.explode(_norm_word_array(F.col(text_col))).alias("w"))
+    total = words.count()
+    freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    scored = (words.join(freq, "w")
+              .withColumn("__lp", F.log10(F.col("cnt") / F.lit(float(total)))))
+    return (scored.groupBy(id_col)
+            .agg(F.count("*").alias("n_words"),
+                 # integer companion of the float score: SQL-exact, so the
+                 # oracle can verify the explode+count+join machinery even
+                 # though float mean ordering is not bit-reproducible
+                 F.sum("cnt").alias("sum_corpus_freq"),
+                 F.round(F.avg("__lp"), 6).alias("mean_log10_prob")))
+
+
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 8,
                            window: int = 16) -> DataFrame:
