@@ -595,6 +595,24 @@ def q_unigram_logprob_documents(spark, sf_dir):
         .alias("lp_in_range"))
 
 
+def q_pack_sequences_documents(spark, sf_dir):
+    """LLM-training sequence packing, oracle-checked by conservation: every
+    input token lands in exactly one fixed-length output sequence (final
+    partials padded), so non-pad token count == corpus word count — a
+    quantity SQL computes exactly."""
+    from python_hll_spark.operators.packing import pack_sequences
+
+    docs = _read(spark, sf_dir, "documents")
+    toks = docs.select(
+        F.transform(_norm_words(F.col("text")),
+                    lambda w: F.xxhash64(w)).alias("tokens"))
+    packed = pack_sequences(toks, seq_len=512, pad_id=0)
+    return packed.agg(
+        F.sum("n_tokens").cast("long").alias("n_nonpad_tokens"),
+        (F.min(F.size("tokens")) == 512).alias("min_len_ok"),
+        (F.max(F.size("tokens")) == 512).alias("max_len_ok"))
+
+
 def q_sample_counts_by_source(spark, sf_dir):
     """Deterministic exactly-k per-group uniform sample (bottom-k of the
     id hash): per-source sampled counts are exactly least(k, group size),
@@ -796,6 +814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
         "sample_counts_by_source": q_sample_counts_by_source,
         "repetition_stats_documents": q_repetition_stats_documents,
+        "pack_sequences_documents": q_pack_sequences_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
         "winnowing_documents": q_winnowing_documents,
@@ -959,6 +978,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_counts_by_source": """
             SELECT source, LEAST(10, COUNT(*)) AS n_sampled
             FROM documents GROUP BY source
+        """,
+        "pack_sequences_documents": """
+            WITH w AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+                       FROM documents)
+            SELECT COUNT(*)::BIGINT AS n_nonpad_tokens,
+                   TRUE AS min_len_ok, TRUE AS max_len_ok
+            FROM w
         """,
         "repetition_stats_documents": """
             WITH w AS (SELECT doc_id,
