@@ -42,6 +42,45 @@ def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id",
     return df.join(F.broadcast(winners), id_col, "left_semi")
 
 
+def _unit_hash(id_col: str, seed: int):
+    """Deterministic u ~ Uniform(0,1) from the row id (double precision)."""
+    return (F.xxhash64(F.col(id_col), F.lit(seed)).cast("double")
+            / F.lit(float(2 ** 64)) + F.lit(0.5))
+
+
+def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
+                seed: int = 0) -> DataFrame:
+    """Deterministic Bernoulli(fraction) sample — a pure zero-shuffle
+    filter, stable under appends/repartitions/reruns (unlike
+    ``df.sample`` whose draw depends on partition layout)."""
+    if not 0.0 <= fraction <= 1.0:
+        raise ValueError("fraction must be in [0, 1]")
+    return df.where(_unit_hash(id_col, seed) < F.lit(fraction))
+
+
+def weighted_sample(df: DataFrame, k: int, weight_col: str,
+                    id_col: str = "doc_id", by: list[str] | None = None,
+                    seed: int = 0) -> DataFrame:
+    """Exactly min(k, group size) rows per group, sampled WITHOUT
+    replacement with probability proportional to ``weight_col``
+    (Efraimidis-Spirakis A-ES: rank by ln(u)/w, u = deterministic unit
+    hash of the id).  Deterministic in (id, weight, seed); rows with
+    weight <= 0 are never sampled.  Same 100 TB shape as
+    ``bottomk_sample``: narrow ranking + broadcast semi-join."""
+    by = by or []
+    u = _unit_hash(id_col, seed)
+    # ln(u)/w is monotone in the A-ES key u^(1/w); larger is better
+    key = F.log(u) / F.col(weight_col)
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+         .orderBy(key.desc(), F.col(id_col).asc()))
+    winners = (df.where(F.col(weight_col) > 0)
+               .select(*by, id_col, weight_col)
+               .withColumn("__rk", F.row_number().over(w))
+               .where(F.col("__rk") <= k)
+               .select(id_col))
+    return df.join(F.broadcast(winners), id_col, "left_semi")
+
+
 def hash_split(df: DataFrame, fractions: dict[str, float],
                id_col: str = "doc_id", seed: int = 0,
                split_col: str = "split") -> DataFrame:

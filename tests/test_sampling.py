@@ -77,3 +77,37 @@ def test_hash_split_no_shuffle(spark, ids):
 def test_hash_split_validates_fractions(spark, ids):
     with pytest.raises(ValueError, match="sum"):
         hash_split(ids, {"train": 0.5, "test": 0.2})
+
+
+def test_hash_sample_deterministic_zero_shuffle(spark, ids):
+    from python_hll_spark.operators.sampling import hash_sample
+
+    s1 = {r["doc_id"] for r in hash_sample(ids, 0.2, seed=5).collect()}
+    s2 = {r["doc_id"] for r in
+          hash_sample(ids.repartition(9), 0.2, seed=5).collect()}
+    assert s1 == s2
+    assert abs(len(s1) / 5000 - 0.2) < 0.03
+    plan = hash_sample(ids, 0.2)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    with pytest.raises(ValueError, match="fraction"):
+        hash_sample(ids, 1.5)
+
+
+def test_weighted_sample_biases_toward_heavy(spark):
+    from python_hll_spark.operators.sampling import weighted_sample
+
+    rows = [(f"h{i}", "g", 10.0) for i in range(100)] + \
+           [(f"l{i}", "g", 1.0) for i in range(100)] + \
+           [(f"z{i}", "g", 0.0) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, w double")
+    s = weighted_sample(df, 50, "w", by=["grp"], seed=2)
+    got = [r["doc_id"] for r in s.collect()]
+    assert len(got) == 50
+    assert not any(d.startswith("z") for d in got)  # zero weight never drawn
+    heavy = sum(1 for d in got if d.startswith("h"))
+    assert heavy > 30  # 10x weights dominate the draw
+    # deterministic across partitionings
+    again = sorted(r["doc_id"] for r in
+                   weighted_sample(df.repartition(7), 50, "w",
+                                   by=["grp"], seed=2).collect())
+    assert sorted(got) == again
