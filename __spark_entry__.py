@@ -595,6 +595,20 @@ def q_unigram_logprob_documents(spark, sf_dir):
         .alias("lp_in_range"))
 
 
+def q_decontaminate_documents(spark, sf_dir):
+    """Eval-set decontamination (exact tier), oracle-checked: every 50th
+    doc plays the eval set (SQL-expressible selection); train docs whose
+    normalized content matches any eval doc are removed via a broadcast
+    fingerprint anti-join."""
+    from python_hll_spark.operators.decontaminate import decontaminate_exact
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text")
+    clean = decontaminate_exact(docs, eval_df)
+    return clean.groupBy("source").agg(F.count("*").alias("n_clean"))
+
+
 def q_pack_sequences_documents(spark, sf_dir):
     """LLM-training sequence packing, oracle-checked by conservation: every
     input token lands in exactly one fixed-length output sequence (final
@@ -815,6 +829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_counts_by_source": q_sample_counts_by_source,
         "repetition_stats_documents": q_repetition_stats_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
+        "decontaminate_documents": q_decontaminate_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
         "winnowing_documents": q_winnowing_documents,
@@ -978,6 +993,15 @@ def oracle_sql() -> dict[str, str]:
         "sample_counts_by_source": """
             SELECT source, LEAST(10, COUNT(*)) AS n_sampled
             FROM documents GROUP BY source
+        """,
+        "decontaminate_documents": """
+            WITH norm AS (SELECT doc_id, source,
+                          regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS nt
+                          FROM documents),
+                 ev AS (SELECT DISTINCT nt FROM norm WHERE doc_id % 50 = 0)
+            SELECT source, COUNT(*) AS n_clean
+            FROM norm WHERE nt NOT IN (SELECT nt FROM ev)
+            GROUP BY source
         """,
         "pack_sequences_documents": """
             WITH w AS (SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w

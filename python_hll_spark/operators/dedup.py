@@ -118,25 +118,11 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
 _EMPTY_SIG_SENTINEL = np.iinfo(np.int64).max
 
 
-def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
-                        id_col: str = "doc_id",
-                        max_bucket: int = 512) -> DataFrame:
-    """Band the signatures and self-join buckets -> (id_a, id_b, est_jaccard).
-
-    est_jaccard = fraction of matching signature positions.
-
-    Scale hardening (the two ways banded LSH melts down at 100 TB):
-    - docs with zero shingles keep the int64-max sentinel in every
-      signature slot, so they'd all share every band key and pile into ONE
-      bucket whose self-join emits O(E^2) pairs — they're dropped before
-      banding (an empty doc has no meaningful Jaccard neighbours);
-    - buckets larger than ``max_bucket`` switch from full pairwise
-      expansion (O(B^2) pairs) to a star against the bucket's min id
-      (O(B) pairs): connected-components connectivity survives, the
-      quadratic blowup doesn't.  Real near-dup buckets are tiny; oversize
-      buckets are hash-collision floods or exact-dup clusters, and exact
-      dups should be removed by dedup_exact first anyway.
-    """
+def _band_keys_frame(sig_df: DataFrame, bands: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """(id, band, band_key) rows: each signature split into ``bands``
+    hashed band keys; empty-signature (sentinel) docs dropped.  Shared by
+    the dedup self-join and the decontamination train-vs-eval join."""
 
     def band_rows(batches):
         import pyarrow as pa
@@ -174,8 +160,31 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
             ], names=[id_col, "band", "band_key"])
 
     id_type = dict(sig_df.dtypes)[id_col]
-    banded = sig_df.mapInArrow(
+    return sig_df.mapInArrow(
         band_rows, schema=f"`{id_col}` {id_type}, band int, band_key bigint")
+
+
+def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
+                        id_col: str = "doc_id",
+                        max_bucket: int = 512) -> DataFrame:
+    """Band the signatures and self-join buckets -> (id_a, id_b, est_jaccard).
+
+    est_jaccard = fraction of matching signature positions.
+
+    Scale hardening (the two ways banded LSH melts down at 100 TB):
+    - docs with zero shingles keep the int64-max sentinel in every
+      signature slot, so they'd all share every band key and pile into ONE
+      bucket whose self-join emits O(E^2) pairs — they're dropped before
+      banding (an empty doc has no meaningful Jaccard neighbours);
+    - buckets larger than ``max_bucket`` switch from full pairwise
+      expansion (O(B^2) pairs) to a star against the bucket's min id
+      (O(B) pairs): connected-components connectivity survives, the
+      quadratic blowup doesn't.  Real near-dup buckets are tiny; oversize
+      buckets are hash-collision floods or exact-dup clusters, and exact
+      dups should be removed by dedup_exact first anyway.
+    """
+
+    banded = _band_keys_frame(sig_df, bands, id_col)
 
     # bucket sizes + representative: one aggregation on the same join key
     # the self-join shuffles on (AQE reuses the exchange)
