@@ -595,6 +595,37 @@ def q_unigram_logprob_documents(spark, sf_dir):
         .alias("lp_in_range"))
 
 
+def q_hll_overlap_users(spark, sf_dir):
+    """Audience-overlap estimate between the two lexicographically first
+    event types via HLL inclusion-exclusion (|A|+|B|-|A∪B| — the reference
+    ships no intersection; this is the documented caller-side composition,
+    reference README).  Bound: 3 sigma on each of the three estimates."""
+    from python_hll_spark.operators.ndv import hll_ndv_column
+    from python_hll_spark.sketches.hll import HLLConfig, HLLSketch, intersection_estimate
+
+    cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
+    events = _read(spark, sf_dir, "events")
+    ab = [r["event_type"] for r in
+          events.select("event_type").distinct().orderBy("event_type").limit(2).collect()]
+    pair = events.where(F.col("event_type").isin(ab))
+    states = {r["event_type"]: HLLSketch.from_bytes(bytes(r["state"]))
+              for r in hll_ndv_column(pair, "user_id", by=["event_type"],
+                                      cfg=cfg).collect()}
+    est = intersection_estimate(states[ab[0]], states[ab[1]])
+    a_users = pair.where(F.col("event_type") == ab[0]) \
+        .select("user_id").distinct()
+    b_users = pair.where(F.col("event_type") == ab[1]) \
+        .select("user_id").distinct()
+    exact = a_users.intersect(b_users).count()
+    na, nb = a_users.count(), b_users.count()
+    nu = a_users.union(b_users).distinct().count()
+    bound = HLL_TOL * cfg.error_bound * (na + nb + nu)
+    ok = abs(est - exact) <= bound
+    return spark.createDataFrame(
+        [(ab[0], ab[1], exact, bool(ok))],
+        "type_a string, type_b string, exact_overlap bigint, overlap_ok boolean")
+
+
 def q_decontaminate_documents(spark, sf_dir):
     """Eval-set decontamination (exact tier), oracle-checked: every 50th
     doc plays the eval set (SQL-expressible selection); train docs whose
@@ -830,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": q_repetition_stats_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "decontaminate_documents": q_decontaminate_documents,
+        "hll_overlap_users": q_hll_overlap_users,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
         "winnowing_documents": q_winnowing_documents,
@@ -993,6 +1025,18 @@ def oracle_sql() -> dict[str, str]:
         "sample_counts_by_source": """
             SELECT source, LEAST(10, COUNT(*)) AS n_sampled
             FROM documents GROUP BY source
+        """,
+        "hll_overlap_users": """
+            WITH ab AS (SELECT DISTINCT event_type FROM events
+                        ORDER BY event_type LIMIT 2),
+                 a AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = (SELECT MIN(event_type) FROM ab)),
+                 b AS (SELECT DISTINCT user_id FROM events
+                       WHERE event_type = (SELECT MAX(event_type) FROM ab))
+            SELECT (SELECT MIN(event_type) FROM ab) AS type_a,
+                   (SELECT MAX(event_type) FROM ab) AS type_b,
+                   (SELECT COUNT(*) FROM a JOIN b USING (user_id)) AS exact_overlap,
+                   TRUE AS overlap_ok
         """,
         "decontaminate_documents": """
             WITH norm AS (SELECT doc_id, source,

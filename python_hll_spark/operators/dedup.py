@@ -331,8 +331,79 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
 
 
 # ------------------------------------------ duplicate-cluster resolution
+def _cc_star(edges: DataFrame, max_iter: int, on_nonconverged: str,
+             chk) -> DataFrame:
+    """Large-star/small-star alternation (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond'): converges in O(log d) rounds vs
+    min-label's O(d), so adversarially long duplicate chains cannot stall
+    the job.  Both operations preserve connectivity; at the fixed point
+    the edge set is a star forest around each component's minimum.
+
+    Edges are kept canonical big->small.  Convergence = (count,
+    hash-checksum) of the edge set unchanged across one small-star round —
+    one tiny action per phase."""
+    import warnings
+
+    nodes = chk(edges.select(F.col("id_a").alias("node"))
+                .unionByName(edges.select(F.col("id_b").alias("node")))
+                .distinct())
+    E = chk(edges.select(F.greatest("id_a", "id_b").alias("u"),
+                         F.least("id_a", "id_b").alias("v"))
+            .where(F.col("u") != F.col("v")).distinct())
+
+    def sig(e: DataFrame) -> tuple:
+        row = e.agg(F.count("*").alias("n"),
+                    F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))
+                    .alias("h")).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = sig(E)
+    converged = False
+    for _ in range(max_iter):
+        # large-star: every neighbor bigger than `node` connects to the
+        # minimum of node's closed neighborhood
+        nbrs = (E.select(F.col("u").alias("node"), F.col("v").alias("nbr"))
+                .unionByName(E.select(F.col("v").alias("node"),
+                                      F.col("u").alias("nbr"))))
+        m = (nbrs.groupBy("node").agg(F.min("nbr").alias("mn"))
+             .select("node", F.least("mn", F.col("node")).alias("m")))
+        E = chk(nbrs.where(F.col("nbr") > F.col("node"))
+                .join(m, "node")
+                .select(F.col("nbr").alias("u"), F.col("m").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+        # small-star: each big end re-points itself and all its smaller
+        # neighbors at the neighborhood minimum
+        mn = E.groupBy("u").agg(F.min("v").alias("m"))
+        e_self = mn.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        e_nbr = (E.join(mn, "u")
+                 .where(F.col("v") != F.col("m"))
+                 .select(F.col("v").alias("a"), F.col("m").alias("b")))
+        E = chk(e_self.unionByName(e_nbr)
+                .select(F.greatest("a", "b").alias("u"),
+                        F.least("a", "b").alias("v"))
+                .where(F.col("u") != F.col("v")).distinct())
+        cur = sig(E)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged and max_iter > 0:
+        msg = (f"connected_components(method='star') did not converge in "
+               f"{max_iter} rounds; increase max_iter")
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        if on_nonconverged == "warn":
+            warnings.warn(msg, RuntimeWarning, stacklevel=3)
+    comp = E.groupBy("u").agg(F.min("v").alias("component")) \
+        .select(F.col("u").alias("node"), "component")
+    return (nodes.join(comp, "node", "left")
+            .select(F.col("node").alias("id"),
+                    F.coalesce("component", F.col("node")).alias("component")))
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20,
-                         on_nonconverged: str = "warn") -> DataFrame:
+                         on_nonconverged: str = "warn",
+                         method: str = "minlabel") -> DataFrame:
     """Connected components of an undirected (id_a, id_b) edge list via
     iterative min-label propagation — pure DataFrame joins, so Catalyst/AQE
     handle the shuffles and it scales with the cluster (no driver graphs).
@@ -349,7 +420,12 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     loss; if no checkpoint dir is configured the code falls back to
     ``localCheckpoint`` (executor-storage lineage, fine for test scale).
     ``on_nonconverged``: "warn" (default), "raise", or "ignore" when labels
-    are still changing after max_iter."""
+    are still changing after max_iter.
+
+    ``method="star"`` switches to large-star/small-star alternation
+    (O(log d) rounds) — the right choice when components may be deep
+    chains; the default min-label is one join cheaper per round and
+    duplicate clusters are normally shallow."""
     import warnings
 
     sc = edges.sparkSession.sparkContext
@@ -358,6 +434,11 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     def chk(df: DataFrame) -> DataFrame:
         return df.checkpoint(eager=True) if reliable \
             else df.localCheckpoint(eager=True)
+
+    if method == "star":
+        return _cc_star(edges, max_iter, on_nonconverged, chk)
+    if method != "minlabel":
+        raise ValueError(f"unknown method {method!r}; use 'minlabel' or 'star'")
 
     both = chk(edges.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
                .unionByName(edges.select(F.col("id_b").alias("node"),

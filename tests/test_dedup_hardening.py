@@ -121,6 +121,44 @@ def test_connected_components_uses_reliable_checkpoint(spark):
     assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
 
+def test_cc_star_converges_on_deep_chain(spark):
+    """Large-star/small-star handles a diameter-200 chain in O(log d)
+    rounds — the same chain stalls min-label at max_iter=10."""
+    from python_hll_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(200)], "id_a long, id_b long")
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")  # star MUST converge, no warning
+        comps = connected_components(edges, max_iter=10,
+                                     method="star").collect()
+    assert len(comps) == 201
+    assert {r["component"] for r in comps} == {0}
+
+
+def test_cc_star_matches_minlabel(spark):
+    from python_hll_spark.operators.dedup import connected_components
+
+    # several clusters incl. a triangle, a pair, a chain and an isolate-pair
+    e = [(1, 2), (2, 3), (3, 1), (10, 11), (20, 21), (21, 22), (22, 23),
+         (30, 31)]
+    edges = spark.createDataFrame(e, "id_a long, id_b long")
+    star = {r["id"]: r["component"] for r in
+            connected_components(edges, method="star").collect()}
+    minl = {r["id"]: r["component"] for r in
+            connected_components(edges, method="minlabel").collect()}
+    assert star == minl
+    assert star[23] == 20 and star[31] == 30
+
+
+def test_cc_rejects_unknown_method(spark):
+    from python_hll_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame([(1, 2)], "id_a long, id_b long")
+    with pytest.raises(ValueError, match="unknown method"):
+        connected_components(edges, method="bogus")
+
+
 # -------------------------------------------------- prepare_corpus metrics
 def test_prepare_corpus_metrics_single_pass(spark):
     from python_hll_spark.plans.pipeline import CorpusFilterConfig, prepare_corpus
