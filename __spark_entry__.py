@@ -595,6 +595,35 @@ def q_unigram_logprob_documents(spark, sf_dir):
         .alias("lp_in_range"))
 
 
+def q_pii_stats_documents(spark, sf_dir):
+    """PII detection + redaction: every 10th doc gets a deterministic
+    injected email+url (SQL-expressible, so the oracle sees the same
+    corpus); per-doc match counts are integer-exact and the redacted text
+    must scan clean (zero remaining matches)."""
+    from python_hll_spark.functions.text import pii_counts, redact_pii
+
+    docs = _read(spark, sf_dir, "documents")
+    injected = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(F.col("text"),
+                 F.lit(" reach me: user"), F.col("doc_id").cast("string"),
+                 F.lit("@example.com or https://ex.org/p")))\
+        .otherwise(F.col("text"))
+    d = docs.select("doc_id", injected.alias("t"))
+    counts = pii_counts(F.col("t"))
+    clean_counts = pii_counts(redact_pii(F.col("t")))
+    import functools
+    import operator
+    scrubbed = functools.reduce(operator.and_,
+                                [c == 0 for c in clean_counts.values()])
+    return d.select(
+        "doc_id",
+        counts["email"].cast("long").alias("n_email"),
+        counts["url"].cast("long").alias("n_url"),
+        counts["phone"].cast("long").alias("n_phone"),
+        scrubbed.alias("redaction_clean"))
+
+
 def q_hll_overlap_users(spark, sf_dir):
     """Audience-overlap estimate between the two lexicographically first
     event types via HLL inclusion-exclusion (|A|+|B|-|A∪B| — the reference
@@ -862,6 +891,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_sequences_documents": q_pack_sequences_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "hll_overlap_users": q_hll_overlap_users,
+        "pii_stats_documents": q_pii_stats_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
         "winnowing_documents": q_winnowing_documents,
@@ -1025,6 +1055,20 @@ def oracle_sql() -> dict[str, str]:
         "sample_counts_by_source": """
             SELECT source, LEAST(10, COUNT(*)) AS n_sampled
             FROM documents GROUP BY source
+        """,
+        "pii_stats_documents": """
+            WITH d AS (SELECT doc_id,
+                       CASE WHEN doc_id % 10 = 0
+                            THEN text || ' reach me: user' || CAST(doc_id AS VARCHAR)
+                                 || '@example.com or https://ex.org/p'
+                            ELSE text END AS t
+                       FROM documents)
+            SELECT doc_id,
+                   length(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_email,
+                   length(regexp_extract_all(t, 'https?://[^\\s]+'))::BIGINT AS n_url,
+                   length(regexp_extract_all(t, '\\+?[0-9][0-9()\\-\\s]{7,}[0-9]'))::BIGINT AS n_phone,
+                   TRUE AS redaction_clean
+            FROM d
         """,
         "hll_overlap_users": """
             WITH ab AS (SELECT DISTINCT event_type FROM events

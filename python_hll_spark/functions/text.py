@@ -102,6 +102,31 @@ def doc_fingerprint(text: Column) -> Column:
     return F.xxhash64(normalized)
 
 
+PII_PATTERNS = {
+    # dual-dialect regexes: identical semantics under Java (Spark codegen)
+    # and RE2 (DuckDB oracle) — no lookaheads, no backrefs
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "phone": r"\+?[0-9][0-9()\-\s]{7,}[0-9]",
+}
+
+
+def pii_counts(text: Column) -> dict[str, Column]:
+    """Per-pattern PII match counts (email/url/phone), pure JVM regex."""
+    return {name: F.regexp_count(text, F.lit(pat))
+            for name, pat in PII_PATTERNS.items()}
+
+
+def redact_pii(text: Column) -> Column:
+    """Replace PII matches with <TYPE> placeholders — the standard
+    pre-training scrub.  Email first (so the user@host form is consumed
+    before the phone pattern can nibble digits in hostnames), then URLs,
+    then phone-like digit runs."""
+    out = F.regexp_replace(text, PII_PATTERNS["email"], "<EMAIL>")
+    out = F.regexp_replace(out, PII_PATTERNS["url"], "<URL>")
+    return F.regexp_replace(out, PII_PATTERNS["phone"], "<PHONE>")
+
+
 def _norm_word_array(text: Column) -> Column:
     return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
 
