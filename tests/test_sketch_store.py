@@ -124,6 +124,47 @@ def test_rollup_plan_shape(spark, tmp_path, docs3):
     assert plan.count("Exchange") == 1
 
 
+def test_store_is_spec_generic_cms(spark, tmp_path, docs3):
+    """The store's rollup is the spec's monoid — a CMS store rolls up to
+    byte-identical counts vs a one-shot build (sum merge is exact)."""
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.operators.aggregate import sketch_groupby
+    from python_hll_spark.sketches.cms import CMSConfig
+    from python_hll_spark.sketches.specs import CMSSpec
+    from python_hll_spark.sources.store import SketchStore
+
+    import numpy as np
+
+    spec = CMSSpec(CMSConfig(depth=4, width=2048))
+    hashed = docs3.select("source", "day", F.xxhash64("doc_id").alias("h"))
+
+    def extractor(pdf):
+        return pdf["h"].to_numpy(dtype=np.int64)
+
+    st = SketchStore(spark, str(tmp_path / "cms_store"), spec, ["source"],
+                     partition_col="day")
+    for day in range(3):
+        states = sketch_groupby(hashed.where(F.col("day") == day),
+                                ["source"], extractor, spec)
+        st.write_partition(states, day)
+    rolled = {r["source"]: bytes(r["state"]) for r in st.rollup().collect()}
+    direct = {r["source"]: bytes(r["state"]) for r in
+              sketch_groupby(hashed, ["source"], extractor, spec).collect()}
+    assert rolled == direct
+
+
+def test_fan_out_noop_on_well_partitioned_input(spark):
+    """fan_out_small_input adds NO shuffle when partitions >= cores."""
+    from python_hll_spark.operators.dedup import fan_out_small_input
+
+    cores = spark.sparkContext.defaultParallelism
+    df = spark.range(0, 1000, 1, cores + 2).select(
+        F.col("id").cast("string").alias("text"))
+    out = fan_out_small_input(df)
+    assert out is df  # untouched frame, not even a new plan node
+
+
 def test_rollup_rejects_unknown_column(spark, tmp_path, docs3):
     st = _store(spark, tmp_path)
     st.write_partition(_states(docs3.where(F.col("day") == 0)), 0)
