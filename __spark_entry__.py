@@ -595,6 +595,41 @@ def q_unigram_logprob_documents(spark, sf_dir):
         .alias("lp_in_range"))
 
 
+def q_mixture_sample_documents(spark, sf_dir):
+    """Data-mixing rebalance to target per-source proportions: the first
+    source gets 2x weight (so it binds and keeps all rows); every other
+    source downsamples deterministically; achieved shares within 4 sigma."""
+    from python_hll_spark.operators.sampling import mixture_sample
+
+    docs = _read(spark, sf_dir, "documents")
+    sources = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    weights = {s: (2.0 if s == sources[0] else 1.0) for s in sources}
+    sampled, plan = mixture_sample(docs, weights, by="source", seed=11)
+    counts = sampled.groupBy("source").agg(F.count("*").alias("n_kept"))
+    tgt = F.create_map(*[x for s, p in plan.items()
+                         for x in (F.lit(s), F.lit(float(p["target"])))])
+    return (counts.withColumn("__t", tgt[F.col("source")])
+            .select("source",
+                    (F.abs(F.col("n_kept") - F.col("__t"))
+                     <= 4 * F.sqrt(F.col("__t")) + 1).alias("mix_ok")))
+
+
+def q_length_buckets_documents(spark, sf_dir):
+    """Equal-population length bucketing (batching-efficiency primitive):
+    bucket sizes within the KLL rank-error bound of N/n_buckets."""
+    from python_hll_spark.operators.quantiles import length_buckets
+    from python_hll_spark.sketches.kll import KLLConfig
+
+    docs = _read(spark, sf_dir, "documents").withColumn(
+        "len", F.length("text").cast("double"))
+    out = length_buckets(docs, "len", n_buckets=4, k=KLL_K)
+    n = docs.count()
+    tol = 3 * KLLConfig(k=KLL_K).rank_error * n + 0.02 * n + 1
+    return (out.groupBy("bucket").agg(F.count("*").alias("cnt"))
+            .select(F.col("bucket").cast("int").alias("bucket"),
+                    (F.abs(F.col("cnt") - n / 4.0) <= tol).alias("frac_ok")))
+
+
 def q_pii_stats_documents(spark, sf_dir):
     """PII detection + redaction: every 10th doc gets a deterministic
     injected email+url (SQL-expressible, so the oracle sees the same
@@ -892,6 +927,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_documents": q_decontaminate_documents,
         "hll_overlap_users": q_hll_overlap_users,
         "pii_stats_documents": q_pii_stats_documents,
+        "mixture_sample_documents": q_mixture_sample_documents,
+        "length_buckets_documents": q_length_buckets_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
         "winnowing_documents": q_winnowing_documents,
@@ -1055,6 +1092,13 @@ def oracle_sql() -> dict[str, str]:
         "sample_counts_by_source": """
             SELECT source, LEAST(10, COUNT(*)) AS n_sampled
             FROM documents GROUP BY source
+        """,
+        "mixture_sample_documents": """
+            SELECT source, TRUE AS mix_ok FROM documents GROUP BY source
+        """,
+        "length_buckets_documents": """
+            SELECT * FROM (VALUES (0, TRUE), (1, TRUE), (2, TRUE), (3, TRUE))
+                   AS t(bucket, frac_ok)
         """,
         "pii_stats_documents": """
             WITH d AS (SELECT doc_id,

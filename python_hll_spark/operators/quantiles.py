@@ -52,3 +52,27 @@ def sketch_quantiles(df: DataFrame, value_col: str, qs: list[float],
         states = merge_sketches(partials.withColumn("__g", F.lit(0)),
                                 ["__g"], spec).drop("__g")
     return states.withColumn("quantiles", _quantile_udf(spec, qs)(F.col("state")))
+
+
+def length_buckets(df: DataFrame, value_col: str, n_buckets: int = 8,
+                   k: int = 200) -> DataFrame:
+    """Equal-population bucketing of ``value_col`` (the length-bucketed
+    batching step that keeps padding waste low when batching variable-
+    length docs): boundaries are the KLL (i/n)-quantiles from ONE sketch
+    pass; assignment is a pure JVM projection comparing against the
+    n_buckets-1 broadcast boundary doubles.
+
+    Returns the input plus a ``bucket`` int column in [0, n_buckets).
+    Bucket populations are equal up to the sketch's rank error."""
+    import functools
+    import operator
+
+    if n_buckets < 2:
+        raise ValueError("n_buckets must be >= 2")
+    qs = [i / n_buckets for i in range(1, n_buckets)]
+    est = sketch_quantiles(df, value_col, qs, method="kll", k=k)
+    bounds = [float(b) for b in est.collect()[0]["quantiles"]]
+    bucket = functools.reduce(
+        operator.add,
+        [(F.col(value_col) > F.lit(b)).cast("int") for b in bounds])
+    return df.withColumn("bucket", bucket)

@@ -81,6 +81,43 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
     return df.join(F.broadcast(winners), id_col, "left_semi")
 
 
+def mixture_sample(df: DataFrame, weights: dict[str, float],
+                   by: str = "source", id_col: str = "doc_id",
+                   seed: int = 0) -> tuple[DataFrame, dict]:
+    """Rebalance a corpus to target per-group mixture ``weights`` (the
+    data-mixing step of LLM training recipes) by deterministic downsampling.
+
+    Picks the LARGEST feasible output size T = min_g(n_g / w_g) — the
+    binding group keeps all its rows, every other group Bernoulli-samples
+    at rate w_g*T/n_g via the id hash (so membership is reproducible and
+    append-stable).  Returns (sampled_df, plan) where plan maps group ->
+    {n, rate, target}.  Groups absent from ``weights`` are dropped.
+
+    One tiny counts aggregation + one zero-shuffle filter — no other
+    action, no repartition."""
+    total_w = sum(weights.values())
+    if total_w <= 0:
+        raise ValueError("weights must sum to a positive value")
+    weights = {g: w / total_w for g, w in weights.items()}
+    counts = {r[by]: r["n"] for r in
+              df.groupBy(by).agg(F.count("*").alias("n")).collect()
+              if r[by] in weights}
+    missing = [g for g in weights if g not in counts]
+    if missing:
+        raise ValueError(f"weight groups absent from data: {missing}")
+    T = min(counts[g] / w for g, w in weights.items() if w > 0)
+    plan = {g: {"n": counts[g],
+                "target": weights[g] * T,
+                "rate": min(1.0, (weights[g] * T) / counts[g])}
+            for g in weights}
+    rate_map = F.create_map(*[x for g, p in plan.items()
+                              for x in (F.lit(g), F.lit(p["rate"]))])
+    u = _unit_hash(id_col, seed)
+    sampled = df.where(rate_map[F.col(by)].isNotNull()
+                       & (u < rate_map[F.col(by)]))
+    return sampled, plan
+
+
 def hash_split(df: DataFrame, fractions: dict[str, float],
                id_col: str = "doc_id", seed: int = 0,
                split_col: str = "split") -> DataFrame:

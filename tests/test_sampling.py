@@ -93,6 +93,43 @@ def test_hash_sample_deterministic_zero_shuffle(spark, ids):
         hash_sample(ids, 1.5)
 
 
+def test_mixture_sample_hits_targets(spark):
+    from python_hll_spark.operators.sampling import mixture_sample
+
+    rows = [(f"a{i}", "a") for i in range(400)] + \
+           [(f"b{i}", "b") for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    sampled, plan = mixture_sample(df, {"a": 0.5, "b": 0.5}, seed=6)
+    # T = min(400/.5, 100/.5) = 200 -> b keeps ALL 100, a samples at 0.25
+    assert plan["b"]["rate"] == 1.0 and abs(plan["a"]["rate"] - 0.25) < 1e-9
+    counts = {r["source"]: r["n"] for r in
+              sampled.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    assert counts["b"] == 100
+    assert abs(counts["a"] - 100) < 30  # binomial 4-sigma ~ 35
+    # deterministic under repartitioning
+    again, _ = mixture_sample(df.repartition(7), {"a": 0.5, "b": 0.5}, seed=6)
+    assert sorted(r["doc_id"] for r in sampled.collect()) == \
+        sorted(r["doc_id"] for r in again.collect())
+    with pytest.raises(ValueError, match="absent"):
+        mixture_sample(df, {"a": 0.5, "zzz": 0.5})
+
+
+def test_length_buckets_equal_population(spark):
+    from python_hll_spark.operators.quantiles import length_buckets
+
+    df = spark.range(0, 8000).select(
+        F.col("id").alias("doc_id"),
+        (F.xxhash64("id") % 10000).cast("double").alias("len"))
+    out = length_buckets(df, "len", n_buckets=4)
+    counts = {r["bucket"]: r["n"] for r in
+              out.groupBy("bucket").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {0, 1, 2, 3}
+    for b, n in counts.items():
+        assert abs(n - 2000) < 150, (b, n)  # 3x rank error @k=200 + slack
+    with pytest.raises(ValueError, match="n_buckets"):
+        length_buckets(df, "len", n_buckets=1)
+
+
 def test_weighted_sample_biases_toward_heavy(spark):
     from python_hll_spark.operators.sampling import weighted_sample
 
