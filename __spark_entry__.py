@@ -795,6 +795,29 @@ def q_simhash_dup_invariant(spark, sf_dir):
                     .alias("dup_hamming_zero")))
 
 
+def q_minhash_tokens_dup_invariant(spark, sf_dir):
+    """Pre-tokenized MinHash (token-shingle path, no text): duplicate every
+    doc's token array under a shifted id — identical tokens MUST yield an
+    identical 128-slot signature.  Exercises the single-pass Arrow shingle
+    +minima kernel with a SQL-expressible expected output."""
+    from python_hll_spark.operators.dedup import minhash_signatures_tokens
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(_norm_words(F.col("text")),
+                    lambda w: F.xxhash64(w)).alias("tokens"))
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "tokens")
+    sigs = minhash_signatures_tokens(docs.unionByName(shifted), num_hashes=64)
+    a = sigs.where("doc_id < 1000000") \
+        .select("doc_id", F.col("sig").alias("sig_a"))
+    b = sigs.where("doc_id >= 1000000") \
+        .select((F.col("doc_id") - 1000000).alias("doc_id"),
+                F.col("sig").alias("sig_b"))
+    return (a.join(b, "doc_id")
+            .select("doc_id",
+                    (F.col("sig_a") == F.col("sig_b")).alias("dup_sig_equal")))
+
+
 def q_near_dedup_dup_invariant(spark, sf_dir):
     """Near-dedup correctness invariant, oracle-checked: inject an EXACT
     copy of every doc under a shifted id.  Exact copies share every MinHash
@@ -921,6 +944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
         "near_dedup_documents": q_near_dedup_documents,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
+        "minhash_tokens_dup_invariant": q_minhash_tokens_dup_invariant,
         "sample_counts_by_source": q_sample_counts_by_source,
         "repetition_stats_documents": q_repetition_stats_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1088,6 +1112,9 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dedup_dup_invariant": """
             SELECT doc_id, TRUE AS pair_collapsed FROM documents
+        """,
+        "minhash_tokens_dup_invariant": """
+            SELECT doc_id, TRUE AS dup_sig_equal FROM documents
         """,
         "sample_counts_by_source": """
             SELECT source, LEAST(10, COUNT(*)) AS n_sampled

@@ -118,6 +118,87 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
 _EMPTY_SIG_SENTINEL = np.iinfo(np.int64).max
 
 
+def minhash_signatures_tokens(df: DataFrame, tokens_col: str = "tokens",
+                              n: int = 3, num_hashes: int = 128,
+                              id_col: str = "doc_id") -> DataFrame:
+    """MinHash signatures directly over PRE-TOKENIZED docs (the input_hint
+    table shape) — no text, no JVM shingle expressions: ONE mapInArrow
+    stage computes token n-gram hashes (vectorized chain over the chunk's
+    flat token buffer with per-doc window masks) and the per-permutation
+    minima in the same pass.  Mirrors the text path's semantics: docs with
+    m >= n tokens get m-n+1 shingles; 0 < m < n gets one shingle over all
+    m tokens; empty docs keep the sentinel signature (dropped at banding).
+
+    Output is join-compatible with ``lsh_candidate_pairs`` /
+    ``connected_components`` — the rest of the dedup pipeline is shared."""
+    import pyarrow as pa
+
+    ks = np.arange(1, num_hashes + 1, dtype=np.int64)
+    A = splitmix64(ks, seed=0xA5).view(np.uint64) | np.uint64(1)
+    B = splitmix64(ks, seed=0xB7).view(np.uint64)
+
+    def compute(batches):
+        for batch in batches:
+            col = batch.column(tokens_col)
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            n_docs = len(col)
+            if n_docs == 0:
+                continue
+            flat = col.flatten().to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            offs = offs - offs[0]
+            lengths = np.diff(offs)
+            # window counts per doc: m>=n -> m-n+1; 0<m<n -> 1; m==0 -> 0
+            counts = np.where(lengths >= n, lengths - n + 1,
+                              (lengths > 0).astype(np.int64))
+            total = int(counts.sum())
+            sig_mat = np.full((n_docs, num_hashes),
+                              np.iinfo(np.int64).max, dtype=np.int64)
+            if total:
+                doc_of_w = np.repeat(np.arange(n_docs), counts)
+                cum = np.concatenate([[0], np.cumsum(counts)])
+                within = np.arange(total) - cum[doc_of_w]
+                start = offs[doc_of_w] + within
+                # chain hash over the window: clamped at the doc's last
+                # token, which only engages for short docs (their single
+                # window covers exactly their m tokens, then repeats the
+                # last token — deterministic function of the doc content)
+                last = offs[doc_of_w] + lengths[doc_of_w] - 1
+                mixed = splitmix64(flat[start])
+                acc = mixed.view(np.uint64).copy()
+                for j in range(1, n):
+                    idx_j = np.minimum(start + j, last)
+                    step = splitmix64(flat[idx_j], seed=j).view(np.uint64)
+                    acc ^= step
+                    acc *= np.uint64(0x9E3779B97F4A7C15)
+                sh = acc  # flat shingle hashes, window-major per doc
+                w_offsets = cum[:-1][counts > 0]
+                nonempty = counts > 0
+                buf = np.empty_like(sh)
+                for k in range(num_hashes):
+                    np.multiply(sh, A[k], out=buf)
+                    buf += B[k]
+                    mins = np.minimum.reduceat(buf, w_offsets)
+                    sig_mat[nonempty, k] = mins.astype(np.int64)
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            sig_offsets = pa.array(
+                np.arange(0, (n_docs + 1) * num_hashes, num_hashes,
+                          dtype=np.int32))
+            sig_arr = pa.ListArray.from_arrays(sig_offsets,
+                                               pa.array(sig_mat.ravel()))
+            yield pa.RecordBatch.from_arrays(
+                [ids, sig_arr], names=[id_col, "sig"])
+
+    id_type = dict(df.dtypes)[id_col]
+    pruned = df.select(id_col, tokens_col)
+    return pruned.mapInArrow(
+        compute, schema=f"`{id_col}` {id_type}, sig array<bigint>")
+
+
 def _band_keys_frame(sig_df: DataFrame, bands: int,
                      id_col: str = "doc_id") -> DataFrame:
     """(id, band, band_key) rows: each signature split into ``bands``
