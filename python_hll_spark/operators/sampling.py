@@ -83,7 +83,8 @@ def weighted_sample(df: DataFrame, k: int, weight_col: str,
 
 def mixture_sample(df: DataFrame, weights: dict[str, float],
                    by: str = "source", id_col: str = "doc_id",
-                   seed: int = 0) -> tuple[DataFrame, dict]:
+                   seed: int = 0,
+                   on_missing: str = "raise") -> tuple[DataFrame, dict]:
     """Rebalance a corpus to target per-group mixture ``weights`` (the
     data-mixing step of LLM training recipes) by deterministic downsampling.
 
@@ -104,7 +105,16 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
               if r[by] in weights}
     missing = [g for g in weights if g not in counts]
     if missing:
-        raise ValueError(f"weight groups absent from data: {missing}")
+        if on_missing == "raise":
+            raise ValueError(
+                f"weight groups absent from data: {missing} "
+                "(pass on_missing='skip' if upstream filters may legally "
+                "empty a group)")
+        weights = {g: w for g, w in weights.items() if g in counts}
+        total_w = sum(weights.values())
+        if total_w <= 0:
+            raise ValueError("no weight group present in the data")
+        weights = {g: w / total_w for g, w in weights.items()}
     T = min(counts[g] / w for g, w in weights.items() if w > 0)
     plan = {g: {"n": counts[g],
                 "target": weights[g] * T,

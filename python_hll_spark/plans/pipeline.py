@@ -34,13 +34,33 @@ class CorpusFilterConfig:
     minhash_hashes: int = 64
     minhash_bands: int = 16
     run_near_dedup: bool = True
+    # optional modern-recipe stages (all default OFF; enabling them does
+    # not change any other stage's behavior)
+    redact_pii: bool = False          # scrub emails/urls/phones FIRST
+    mixture_weights: dict | None = None  # final per-source rebalance
+    mixture_by: str = "source"
 
 
 def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
-                   text_col: str = "text", id_col: str = "doc_id"):
+                   text_col: str = "text", id_col: str = "doc_id",
+                   eval_df: DataFrame | None = None):
     """Returns (clean_df, metrics dict).  clean_df keeps the original
-    columns plus the computed quality/lang columns."""
+    columns plus the computed quality/lang columns.
+
+    Full modern recipe when all stages are enabled:
+        PII redaction -> stats/filters -> exact dedup -> near-dup removal
+        -> eval-set decontamination (pass ``eval_df``) -> mixture rebalance
+    """
     cfg = cfg or CorpusFilterConfig()
+
+    if cfg.redact_pii:
+        from python_hll_spark.functions.text import redact_pii
+        df = df.withColumn(text_col, redact_pii(F.col(text_col)))
+        if eval_df is not None:
+            # decontamination compares CONTENT: the eval side must carry
+            # the same normalization or PII-bearing leaks slip the exact tier
+            eval_df = eval_df.withColumn(text_col,
+                                         redact_pii(F.col(text_col)))
 
     # Single-scan metrics: rows_in and rows_after_quality both come from ONE
     # pass over the scored frame (observe() metrics piggyback on the action
@@ -80,6 +100,29 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
         exact_unique.unpersist()
     else:
         clean = exact_unique
-    metrics["rows_out"] = metrics.get("rows_after_near_dedup",
-                                      metrics["rows_after_exact_dedup"])
+
+    if eval_df is not None:
+        from python_hll_spark.operators.decontaminate import decontaminate
+        clean = decontaminate(clean, eval_df,
+                              threshold=cfg.near_dup_threshold,
+                              num_hashes=cfg.minhash_hashes,
+                              bands=cfg.minhash_bands,
+                              text_col=text_col, id_col=id_col)
+        metrics["rows_after_decontamination"] = clean.count()
+
+    if cfg.mixture_weights:
+        from python_hll_spark.operators.sampling import mixture_sample
+        clean, plan = mixture_sample(clean, cfg.mixture_weights,
+                                     by=cfg.mixture_by, id_col=id_col,
+                                     on_missing="skip")
+        metrics["mixture_plan"] = {
+            g: {"n": p["n"], "rate": round(p["rate"], 6)}
+            for g, p in plan.items()}
+        metrics["rows_after_mixture"] = clean.count()
+
+    metrics["rows_out"] = metrics.get(
+        "rows_after_mixture",
+        metrics.get("rows_after_decontamination",
+                    metrics.get("rows_after_near_dedup",
+                                metrics["rows_after_exact_dedup"])))
     return clean, metrics

@@ -218,3 +218,47 @@ def test_prepare_corpus_end_to_end(spark, documents, docs_with_dupes):
     base_ids = {r["doc_id"] for r in docs_with_dupes.where("doc_id < 20").collect()}
     survived = base_ids & kept
     assert len(survived) >= len(base_ids) * 0.8
+
+
+def test_prepare_corpus_full_recipe(spark, documents):
+    """All optional stages on: PII redaction -> filters -> dedup ->
+    decontamination -> mixture rebalance, with stage metrics."""
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    docs = documents.withColumn(
+        "text",
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.col("text"), F.lit(" mail leak@example.com")))
+        .otherwise(F.col("text")))
+    # eval set = exact copies of every 10th doc under new ids (taken AFTER
+    # redaction-equivalent transform so contamination is content-exact)
+    srcs = sorted(r["source"] for r in docs.select("source").distinct().collect())
+    weights = {s: 1.0 for s in srcs}
+    cfg = CorpusFilterConfig(min_quality=0.0, min_words=1,
+                             near_dup_threshold=0.9,
+                             minhash_hashes=64, minhash_bands=16,
+                             redact_pii=True, mixture_weights=weights)
+    eval_df = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 777000).alias("doc_id"), "text")
+    clean, metrics = prepare_corpus(docs, cfg, eval_df=eval_df)
+
+    assert metrics["rows_after_decontamination"] <= metrics["rows_after_near_dedup"]
+    assert metrics["rows_after_mixture"] <= metrics["rows_after_decontamination"]
+    assert metrics["rows_out"] == metrics["rows_after_mixture"]
+    # decontamination may legally empty a source (every doc in src0/src10
+    # is contaminated here); the mixture plan covers the survivors
+    assert set(metrics["mixture_plan"]) <= set(srcs)
+    assert len(metrics["mixture_plan"]) >= len(srcs) - 2
+    # PII scrubbed everywhere in the surviving corpus
+    n_pii = clean.where(F.col("text").contains("leak@example.com")).count()
+    assert n_pii == 0
+    assert clean.where(F.col("text").contains("<EMAIL>")).count() > 0
+    # decontamination removed the eval copies' originals (exact-content tier;
+    # eval texts were redacted identically since redaction is deterministic)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    contaminated = {r["doc_id"] for r in docs.where(
+        (F.col("doc_id") % 10 == 0)).collect()}
+    assert not (kept & contaminated)
