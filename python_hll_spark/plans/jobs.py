@@ -69,6 +69,36 @@ def _build_quantiles(args) -> None:
     spark.stop()
 
 
+def _prepare_corpus(args) -> None:
+    """Full training-corpus preparation as a spark-submit job: redact ->
+    filter -> dedup -> (optional) decontaminate -> (optional) rebalance.
+    Stage metrics go to stderr as one JSON line; the clean corpus to
+    ``--output`` parquet."""
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    spark = get_spark("prepare-corpus")
+    df = spark.read.parquet(args.input)
+    weights = None
+    if args.mixture_weights:
+        weights = {k: float(v) for k, v in
+                   (kv.split("=") for kv in args.mixture_weights.split(","))}
+    cfg = CorpusFilterConfig(
+        min_quality=args.min_quality,
+        near_dup_threshold=args.near_dup_threshold,
+        run_near_dedup=not args.skip_near_dedup,
+        redact_pii=args.redact_pii,
+        mixture_weights=weights)
+    eval_df = spark.read.parquet(args.eval_input) if args.eval_input else None
+    clean, metrics = prepare_corpus(df, cfg, eval_df=eval_df)
+    clean.write.mode("overwrite").parquet(args.output)
+    # metrics on stdout (spark-submit routes the python process's stderr
+    # through its own logging and can drop it); rows_out stays the LAST line
+    print(json.dumps({"metrics": metrics}, default=str))
+    print(json.dumps({"rows_out": metrics["rows_out"]}))
+    spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="python_hll_spark.plans.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -92,6 +122,21 @@ def main(argv=None) -> None:
     qt.add_argument("--quantiles", default="0.25,0.5,0.75")
     qt.add_argument("--method", default="kll", choices=["kll", "tdigest"])
     qt.set_defaults(fn=_build_quantiles)
+
+    cp = sub.add_parser("prepare-corpus",
+                        help="full corpus prep: redact/filter/dedup/"
+                             "decontaminate/rebalance")
+    cp.add_argument("--input", required=True)
+    cp.add_argument("--output", required=True)
+    cp.add_argument("--eval-input", default="",
+                    help="parquet of eval docs to decontaminate against")
+    cp.add_argument("--min-quality", type=float, default=0.3)
+    cp.add_argument("--near-dup-threshold", type=float, default=0.9)
+    cp.add_argument("--skip-near-dedup", action="store_true")
+    cp.add_argument("--redact-pii", action="store_true")
+    cp.add_argument("--mixture-weights", default="",
+                    help="comma list of group=weight, e.g. web=1,code=2")
+    cp.set_defaults(fn=_prepare_corpus)
 
     args = p.parse_args(argv)
     args.fn(args)
