@@ -381,32 +381,56 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3,
                        id_col: str = "doc_id",
-                       sigs: DataFrame | None = None) -> DataFrame:
+                       sigs: DataFrame | None = None,
+                       max_bucket: int = 512) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed on 16-bit chunks
     (two of four chunks must match exactly when distance <= 3).
+
+    Scale hardening (same ``__bsz``/star pattern as ``lsh_candidate_pairs``):
+    there are only 4 x 65,536 possible chunk buckets, so at web scale every
+    bucket grows linearly with the corpus and a full pairwise self-join is
+    quadratic per bucket.  Buckets larger than ``max_bucket`` degrade to a
+    star against the bucket's min id — O(B) edges instead of O(B^2).
+    Identical-signature floods (the realistic oversize bucket: exact-dup
+    clusters, boilerplate) keep hamming 0 to the representative, so
+    duplicate-cluster connectivity survives; genuinely dissimilar collision
+    members are dropped by the hamming filter exactly as the pairwise path
+    would drop them.
 
     Pass a persisted ``sigs`` frame to own the cache lifecycle (the default
     cache lives until the session drops it)."""
     if sigs is None:
         sigs = simhash_signatures(df, text_col, id_col).cache()
     chunks = sigs.select(
-        id_col, "simhash",
+        id_col,
         F.explode(F.array(*[
             F.struct(F.lit(i).alias("chunk"),
                      F.shiftright(F.col("simhash"), 16 * i)
                      .bitwiseAND(F.lit(0xFFFF)).alias("ckey"))
             for i in range(4)])).alias("c")
-    ).select(id_col, "simhash", "c.chunk", "c.ckey")
-    a, b = chunks.alias("a"), chunks.alias("b")
-    pairs = (a.join(b, on=["chunk", "ckey"])
-             .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-             .select(F.col(f"a.{id_col}").alias("id_a"),
-                     F.col(f"b.{id_col}").alias("id_b"),
-                     F.col("a.simhash").alias("sh_a"),
-                     F.col("b.simhash").alias("sh_b"))
-             .distinct())
+    ).select(id_col, "c.chunk", "c.ckey")
+    sizes = (chunks.groupBy("chunk", "ckey")
+             .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
+    tagged = chunks.join(sizes, ["chunk", "ckey"])
+    small = tagged.where(F.col("__bsz") <= max_bucket) \
+        .select("chunk", "ckey", id_col)
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (a.join(b, on=["chunk", "ckey"])
+                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   .select(F.col(f"a.{id_col}").alias("id_a"),
+                           F.col(f"b.{id_col}").alias("id_b")))
+    pairs_large = (tagged.where((F.col("__bsz") > max_bucket)
+                                & (F.col(id_col) != F.col("__rep")))
+                   .select(F.col("__rep").alias("id_a"),
+                           F.col(id_col).alias("id_b")))
+    pairs = pairs_small.unionByName(pairs_large).distinct()
+    sh_a = sigs.select(F.col(id_col).alias("id_a"),
+                       F.col("simhash").alias("sh_a"))
+    sh_b = sigs.select(F.col(id_col).alias("id_b"),
+                       F.col("simhash").alias("sh_b"))
     hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
-    return (pairs.withColumn("hamming", hamming)
+    return (pairs.join(sh_a, "id_a").join(sh_b, "id_b")
+            .withColumn("hamming", hamming)
             .where(F.col("hamming") <= max_hamming)
             .select("id_a", "id_b", "hamming"))
 

@@ -8,8 +8,9 @@ debuggable: a sampled shard can be regenerated months later for audit.
 - ``bottomk_sample``: exactly-k uniform sample per group via the bottom-k
   of ``xxhash64(id, seed)``.  Hash order is a uniform random order, so the
   k smallest hashes are a uniform k-subset (the classic bottom-k sketch
-  argument).  One shuffle (the per-group top-k window); candidates can be
-  pre-pruned per partition so only ~k rows per task reach it.
+  argument).  Candidates ARE pre-pruned per input partition (lossless,
+  no shuffle) so only <= k rows per (partition, group) reach the single
+  ranking shuffle.
 - ``hash_split``: assign each row to train/val/test (or any named
   fractions) by bucketing ``xxhash64(id, seed)`` — no shuffle at all, the
   assignment is a JVM-codegen projection.
@@ -21,21 +22,69 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
+def _local_topk_prune(narrow: DataFrame, by: list[str], k: int,
+                      key_col: str, id_col: str,
+                      ascending: bool) -> DataFrame:
+    """Keep the per-(input partition, group) top-k of ``narrow`` by
+    (key, id) WITHOUT shuffling — a narrow ``mapInPandas`` pass that
+    streams each partition's Arrow batches through a running bottom-k.
+
+    This prune is LOSSLESS for the global per-group top-k: any row in a
+    group's global top-k is necessarily in its own partition's local
+    top-k for that group (removing other rows can only improve its local
+    rank).  So the downstream ranking window sees at most
+    k x groups x partitions candidate rows — bounded per reducer task by
+    k x partitions instead of the group's full row count, which is what
+    makes the sampler survive a 10^10-row dominant group at 100 TB.
+
+    Task-local state is <= k rows per group present in the partition."""
+    cols = list(narrow.columns)
+    asc = [ascending, True]  # key order, then id asc (the window tie-break)
+
+    def prune(batches):
+        import pandas as pd
+        carry = None
+        for pdf in batches:
+            both = pdf if carry is None else pd.concat(
+                [carry, pdf], ignore_index=True)
+            both = both.sort_values([key_col, id_col], ascending=asc,
+                                    kind="mergesort")
+            if by:
+                carry = both.groupby(by, dropna=False, sort=False).head(k)
+            else:
+                carry = both.head(k)
+            carry = carry.reset_index(drop=True)
+        if carry is not None and len(carry):
+            yield carry[cols]
+
+    return narrow.mapInPandas(prune, narrow.schema)
+
+
 def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id",
-                   by: list[str] | None = None, seed: int = 0) -> DataFrame:
+                   by: list[str] | None = None, seed: int = 0,
+                   prune: bool = True) -> DataFrame:
     """Exactly min(k, group size) rows per group, uniformly at random,
     deterministic in (id, seed).  Returns the original columns.
 
-    100 TB shape: the ranking window shuffles only the NARROW
-    (group, id, hash) projection — wide payload columns (document text,
-    token arrays) never move; winners (<= k x groups ids, tiny by
-    definition) broadcast back as a semi-join.  Assumes ``id_col`` is
-    unique per row (duplicate ids would all survive the semi-join)."""
+    100 TB shape: candidates are first pruned per input partition to
+    <= k per group (narrow, no shuffle — see ``_local_topk_prune``), so
+    the ranking window's single reducer per group handles at most
+    k x partitions rows, never the group's full population.  Only the
+    NARROW (group, id, hash) projection moves — wide payload columns
+    (document text, token arrays) never shuffle; winners (<= k x groups
+    ids, tiny by definition) broadcast back as a semi-join.  Assumes
+    ``id_col`` is unique per row (duplicate ids would all survive the
+    semi-join).  ``prune=False`` skips the local prune (identical
+    output, kept for determinism tests)."""
     by = by or []
     h = F.xxhash64(F.col(id_col), F.lit(seed))
+    narrow = df.select(*by, id_col, h.alias("__key"))
+    if prune:
+        narrow = _local_topk_prune(narrow, by, k, "__key", id_col,
+                                   ascending=True)
     w = (Window.partitionBy(*[F.col(c) for c in by])
-         .orderBy(h.asc(), F.col(id_col).asc()))
-    winners = (df.select(*by, id_col)
+         .orderBy(F.col("__key").asc(), F.col(id_col).asc()))
+    winners = (narrow
                .withColumn("__rk", F.row_number().over(w))
                .where(F.col("__rk") <= k)
                .select(id_col))
@@ -60,21 +109,27 @@ def hash_sample(df: DataFrame, fraction: float, id_col: str = "doc_id",
 
 def weighted_sample(df: DataFrame, k: int, weight_col: str,
                     id_col: str = "doc_id", by: list[str] | None = None,
-                    seed: int = 0) -> DataFrame:
+                    seed: int = 0, prune: bool = True) -> DataFrame:
     """Exactly min(k, group size) rows per group, sampled WITHOUT
     replacement with probability proportional to ``weight_col``
     (Efraimidis-Spirakis A-ES: rank by ln(u)/w, u = deterministic unit
     hash of the id).  Deterministic in (id, weight, seed); rows with
     weight <= 0 are never sampled.  Same 100 TB shape as
-    ``bottomk_sample``: narrow ranking + broadcast semi-join."""
+    ``bottomk_sample``: lossless per-partition top-k prune (no shuffle),
+    then the narrow ranking window over <= k x partitions rows per
+    group, then a broadcast semi-join back to the payload."""
     by = by or []
     u = _unit_hash(id_col, seed)
     # ln(u)/w is monotone in the A-ES key u^(1/w); larger is better
     key = F.log(u) / F.col(weight_col)
+    narrow = (df.where(F.col(weight_col) > 0)
+              .select(*by, id_col, key.alias("__key")))
+    if prune:
+        narrow = _local_topk_prune(narrow, by, k, "__key", id_col,
+                                   ascending=False)
     w = (Window.partitionBy(*[F.col(c) for c in by])
-         .orderBy(key.desc(), F.col(id_col).asc()))
-    winners = (df.where(F.col(weight_col) > 0)
-               .select(*by, id_col, weight_col)
+         .orderBy(F.col("__key").desc(), F.col(id_col).asc()))
+    winners = (narrow
                .withColumn("__rk", F.row_number().over(w))
                .where(F.col("__rk") <= k)
                .select(id_col))

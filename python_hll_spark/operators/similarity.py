@@ -180,14 +180,42 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
 
 def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
-                          n_bits: int = 8, seed: int = 42) -> DataFrame:
-    """Near-duplicate vector pairs by cosine >= threshold, SRP-bucketed."""
+                          n_bits: int = 8, seed: int = 42,
+                          max_bucket: int = 512) -> DataFrame:
+    """Near-duplicate vector pairs by cosine >= threshold, SRP-bucketed.
+
+    Scale hardening (same ``__bsz``/star pattern as ``lsh_candidate_pairs``):
+    2^n_bits buckets means bucket population grows linearly with the corpus,
+    so the self-join is quadratic per bucket without a cap.  Buckets larger
+    than ``max_bucket`` degrade to a star against the bucket's min id —
+    O(B) edges instead of O(B^2).  Exact-duplicate floods (the realistic
+    oversize bucket) keep cosine 1.0 to the representative, so duplicate
+    connectivity survives; dissimilar collision members fail the cosine
+    threshold exactly as the pairwise path would drop them.  Each vector
+    lands in exactly ONE bucket, so small/large pair sets are disjoint and
+    no distinct (extra shuffle) is needed."""
     dim = len(df.select(vec_col).first()[0])
     bucket = srp_bucket_udf(dim, n_bits, seed)
     tagged = df.select(id_col, vec_col).withColumn("bucket", bucket(F.col(vec_col)))
-    a = tagged.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), "bucket")
-    b = tagged.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), "bucket")
-    pairs = (a.join(b, "bucket").where(F.col("id_a") < F.col("id_b")).drop("bucket"))
+    sizes = (tagged.groupBy("bucket")
+             .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
+    sized = tagged.join(sizes, "bucket")
+    small = sized.where(F.col("__bsz") <= max_bucket)
+    a = small.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
+                     "bucket")
+    b = small.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
+                     "bucket")
+    pairs_small = (a.join(b, "bucket")
+                   .where(F.col("id_a") < F.col("id_b")).drop("bucket"))
+    reps = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    pairs_large = (sized.where((F.col("__bsz") > max_bucket)
+                               & (F.col(id_col) != F.col("__rep")))
+                   .select(F.col("__rep").alias("id_a"),
+                           F.col(id_col).alias("id_b"),
+                           F.col(vec_col).alias("vb"))
+                   .join(reps, "id_a"))
+    pairs = pairs_small.unionByName(pairs_large.select("id_a", "id_b",
+                                                       "va", "vb"))
     return (with_cosine(pairs, "va", "vb", out="cosine")
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))

@@ -59,6 +59,93 @@ def test_lsh_oversized_bucket_star_fallback(spark):
     assert len(comps) == 1  # all 40 docs still one component
 
 
+def test_simhash_oversized_bucket_star_fallback(spark):
+    """A SimHash chunk-bucket flood (>= max_bucket identical signatures)
+    must resolve as O(B) star edges, not O(B^2) pairs, while preserving
+    duplicate connectivity and still finding genuinely near pairs."""
+    from python_hll_spark.operators.dedup import (connected_components,
+                                                  simhash_near_pairs)
+
+    text = ("identical flood content that lands every document in the same "
+            "simhash chunk buckets for all four sixteen bit chunks ") * 2
+    rows = [(i, text) for i in range(60)]
+    # one near-pair outside the flood (tiny hamming distance, own buckets)
+    rows += [(1000, "alpha beta gamma delta epsilon zeta eta theta iota"),
+             (1001, "alpha beta gamma delta epsilon zeta eta theta kappa")]
+    pairs = simhash_near_pairs(_docs(spark, rows), max_hamming=6,
+                               max_bucket=8)
+    got = pairs.collect()
+    flood = [(r["id_a"], r["id_b"]) for r in got if r["id_a"] < 1000]
+    # star: linear edge count against min id 0, not 60*59/2 = 1770
+    assert 0 < len(flood) <= 60, len(flood)
+    assert all(a == 0 for a, _ in flood)
+    comps = connected_components(
+        pairs.where(F.col("id_a") < 1000).select("id_a", "id_b")) \
+        .select("component").distinct().collect()
+    assert len(comps) == 1  # flood still one duplicate cluster
+
+
+def test_simhash_star_fallback_same_pairs_as_pairwise(spark):
+    """Below the cap, the hardened path must emit the EXACT same pairs the
+    unhardened pairwise join would (cap large enough = pairwise)."""
+    from python_hll_spark.operators.dedup import simhash_near_pairs
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = [(i, " ".join(rng.choice(vocab, size=30))) for i in range(80)]
+    df = _docs(spark, rows)
+    capped = sorted((r["id_a"], r["id_b"], r["hamming"]) for r in
+                    simhash_near_pairs(df, max_hamming=10,
+                                       max_bucket=10 ** 9).collect())
+    small_cap = simhash_near_pairs(df, max_hamming=10, max_bucket=4)
+    # with a tiny cap we may get FEWER pairs (star keeps only rep edges)
+    # but every emitted pair must be a true near pair from the full set
+    got = {(r["id_a"], r["id_b"]) for r in small_cap.collect()}
+    assert got <= {(a, b) for a, b, _ in capped}
+
+
+def test_embedding_dedup_bucket_flood_linear(spark):
+    """10^3 identical embeddings share one SRP bucket; the hardened path
+    must emit O(B) star edges (cosine 1.0 to the rep), not O(B^2)."""
+    from python_hll_spark.operators.similarity import embedding_dedup_pairs
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=8).astype("float32")
+    rows = [(i, [float(x) for x in base]) for i in range(1000)]
+    # a distinct non-dup vector
+    rows.append((5000, [float(x) for x in rng.normal(size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = embedding_dedup_pairs(df, threshold=0.95, max_bucket=50)
+    got = pairs.collect()
+    assert 0 < len(got) <= 1000, len(got)   # linear, not ~500k
+    assert all(r["id_a"] == 0 for r in got)
+    assert all(abs(r["cosine"] - 1.0) < 1e-6 for r in got)
+    ids = {r["id_b"] for r in got} | {0}
+    assert ids == set(range(1000))          # full flood connectivity
+    assert 5000 not in ids
+
+
+def test_embedding_dedup_small_buckets_unchanged(spark):
+    """With a huge cap the hardened operator reduces to the pairwise join —
+    results must match across cap settings for normal (small) buckets."""
+    from python_hll_spark.operators.similarity import embedding_dedup_pairs
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for i in range(60):
+        v = rng.normal(size=8).astype("float64")
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v + 0.01 * rng.normal(size=8)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    big = sorted((r["id_a"], r["id_b"]) for r in
+                 embedding_dedup_pairs(df, threshold=0.98,
+                                       max_bucket=10 ** 9).collect())
+    capped = sorted((r["id_a"], r["id_b"]) for r in
+                    embedding_dedup_pairs(df, threshold=0.98,
+                                          max_bucket=500).collect())
+    assert big == capped and len(big) >= 40  # most jittered twins found
+
+
 # ------------------------------------------------ simhash: old == new bits
 def _simhash_reference(word_hashes: list[int]) -> int:
     """The round-1 per-row implementation, kept as the spec."""

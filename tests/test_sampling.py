@@ -50,6 +50,53 @@ def test_bottomk_plan_narrow_window_broadcast_semijoin(spark):
     assert any("text" not in s for s in schemas), schemas
 
 
+def test_bottomk_prune_is_lossless(spark, ids):
+    """The per-partition local prune must pick the EXACT same winners as
+    the unpruned window (it only drops rows that cannot win)."""
+    pruned = sorted(r["doc_id"] for r in
+                    bottomk_sample(ids, 25, by=["source"], seed=7,
+                                   prune=True).collect())
+    full = sorted(r["doc_id"] for r in
+                  bottomk_sample(ids, 25, by=["source"], seed=7,
+                                 prune=False).collect())
+    assert pruned == full
+
+
+def test_weighted_prune_is_lossless(spark):
+    from python_hll_spark.operators.sampling import weighted_sample
+
+    rows = [(f"d{i}", str(i % 3), float(1 + i % 7)) for i in range(3000)]
+    df = spark.createDataFrame(rows, "doc_id string, grp string, w double") \
+        .repartition(11)
+    a = sorted(r["doc_id"] for r in
+               weighted_sample(df, 20, "w", by=["grp"], seed=4,
+                               prune=True).collect())
+    b = sorted(r["doc_id"] for r in
+               weighted_sample(df, 20, "w", by=["grp"], seed=4,
+                               prune=False).collect())
+    assert a == b
+
+
+def test_local_prune_bounds_window_input(spark):
+    """After the narrow prune, the ranking window sees at most
+    k x partitions rows per group — never the group's full population."""
+    from python_hll_spark.operators.sampling import _local_topk_prune
+
+    k, nparts = 5, 8
+    df = spark.range(0, 2000).select(
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        F.lit("g").alias("source"),
+        F.xxhash64("id").alias("__key")).repartition(nparts)
+    pruned = _local_topk_prune(df, ["source"], k, "__key", "doc_id",
+                               ascending=True)
+    n = pruned.count()
+    assert n <= k * nparts, n   # 40 max, vs 2000 unpruned
+    # and the global bottom-k survives the prune
+    want = sorted((r["__key"], r["doc_id"]) for r in df.collect())[:k]
+    got = sorted((r["__key"], r["doc_id"]) for r in pruned.collect())[:k]
+    assert got == want
+
+
 def test_hash_split_stable_under_append(spark, ids):
     base = hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
     assign1 = {r["doc_id"]: r["split"] for r in base.collect()}
