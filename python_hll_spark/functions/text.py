@@ -149,20 +149,36 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
         top_word_cnt.alias("top_word_count"))
 
 
-def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id"):
+def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                    hot_words: int = 10000):
     """CCNet-style corpus-self unigram log-probability per doc: build the
     corpus word-frequency table once (an aggregation, not a model), then
     score each doc by the mean log10 probability of its words.  Low scores
     flag gibberish/rare-token docs exactly the way an LM-perplexity filter
     does, without any external model.  All JVM-side: explode -> count ->
-    join -> mean.  The frequency-table join is left to AQE: at test scale
-    it auto-broadcasts; at web scale (10^8-word vocabularies are too big to
-    broadcast) it stays a shuffle join on the word key."""
+    split join -> mean.
+
+    Skew handling: word frequency is Zipfian — "the" alone is ~5% of a web
+    corpus, so a plain shuffle join on the word key funnels 10^9+ rows of a
+    100 TB corpus through single reducers.  The frequency table therefore
+    splits: the ``hot_words`` most frequent words (covering the vast bulk
+    of occurrences, yet only KBs of (word, count) rows) join as an
+    explicit BROADCAST hash join — no shuffle of their occurrences at all —
+    and only the long tail (whose per-word counts are small and balanced by
+    construction) takes the shuffle join.  The frequency AGGREGATION itself
+    is safe either way: groupBy does map-side partial combine, so each
+    reducer receives one partial per task, not one row per occurrence."""
     words = df.select(F.col(id_col),
                       F.explode(_norm_word_array(F.col(text_col))).alias("w"))
     total = words.count()
     freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
-    scored = (words.join(freq, "w")
+    # deterministic hot set: top-K by (count desc, word) — vocab-sized sort,
+    # never corpus-sized
+    hot = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(hot_words)
+    hot_scored = words.join(F.broadcast(hot), "w")
+    tail_scored = (words.join(F.broadcast(hot.select("w")), "w", "left_anti")
+                   .join(freq, "w"))
+    scored = (hot_scored.unionByName(tail_scored)
               .withColumn("__lp", F.log10(F.col("cnt") / F.lit(float(total)))))
     return (scored.groupBy(id_col)
             .agg(F.count("*").alias("n_words"),

@@ -103,12 +103,18 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
 
     if eval_df is not None:
         from python_hll_spark.operators.decontaminate import decontaminate
+        upstream = clean
         clean = decontaminate(clean, eval_df,
                               threshold=cfg.near_dup_threshold,
                               num_hashes=cfg.minhash_hashes,
                               bands=cfg.minhash_bands,
-                              text_col=text_col, id_col=id_col)
+                              text_col=text_col, id_col=id_col).persist()
+        # this count materializes the decontaminated cache, so the later
+        # mixture counts and the caller's final write re-read it instead of
+        # re-executing the decontamination LSH lineage; the upstream cache
+        # is no longer reachable and can go
         metrics["rows_after_decontamination"] = clean.count()
+        upstream.unpersist()
 
     if cfg.mixture_weights:
         from python_hll_spark.operators.sampling import mixture_sample

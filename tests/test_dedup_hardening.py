@@ -264,3 +264,48 @@ def test_prepare_corpus_metrics_single_pass(spark):
     assert metrics["rows_after_exact_dedup"] == 21      # 3 exact dups -> 1
     assert metrics["rows_out"] == 21
     assert clean.count() == 21
+
+
+def test_prepare_corpus_optional_stages_single_pass(spark):
+    """With decontaminate + mixture both ON, the decontaminated frame must
+    be persisted: downstream metric counts, the mixture plan, and any
+    caller action (the CLI's final write) read the cache instead of
+    re-executing the decontamination LSH lineage.  Detected by an
+    accumulator on the eval side — eval rows are only scanned when the
+    decontamination lineage actually executes."""
+    from python_hll_spark.plans.pipeline import CorpusFilterConfig, prepare_corpus
+
+    good = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "softly on the quiet village roofs this fine morning indeed ")
+    rows = [(i, good + f"unique doc {i} " + "web" if i % 2 else
+             good + f"unique doc {i} " + "wiki") for i in range(30)]
+    docs = spark.createDataFrame(
+        [(i, t, "web" if i % 2 else "wiki") for i, t in rows],
+        "doc_id long, text string, source string")
+    eval_rows = [(900 + j, good + "unique doc 3 web") for j in range(3)]
+    acc = spark.sparkContext.accumulator(0)
+
+    def count_scans(batches):
+        for pdf in batches:
+            acc.add(len(pdf))
+            yield pdf
+
+    eval_df = spark.createDataFrame(eval_rows, "doc_id long, text string") \
+        .mapInPandas(count_scans, "doc_id long, text string")
+
+    clean, metrics = prepare_corpus(
+        docs,
+        CorpusFilterConfig(min_quality=0.0, min_words=5,
+                           minhash_hashes=64, minhash_bands=16,
+                           mixture_weights={"web": 0.5, "wiki": 0.5}),
+        eval_df=eval_df)
+    assert metrics["rows_after_decontamination"] <= metrics["rows_after_near_dedup"]
+    assert "rows_after_mixture" in metrics
+    scans_after_pipeline = acc.value
+    assert scans_after_pipeline > 0  # decontamination really ran
+    # caller-side actions (metrics re-reads, the CLI's parquet write) must
+    # hit the persisted cache — the eval lineage must NOT execute again
+    clean.count()
+    clean.count()
+    assert acc.value == scans_after_pipeline
+    clean.unpersist()

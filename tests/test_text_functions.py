@@ -113,3 +113,47 @@ def test_winnowing_vectorized_matches_reference(spark):
         F.lower(F.trim(F.col("text"))), r"\s+", " ").alias("t")).collect()
     for r in norm:
         assert got[r["doc_id"]] == fp_one(r["t"]), r["doc_id"]
+
+
+# ------------------------------------------------- unigram logprob skew split
+def test_unigram_logprob_hot_tail_split_matches_plain(spark):
+    """The broadcast-hot / shuffle-tail split must produce the same scores
+    for ANY cutoff — all-hot, all-tail, and mixed land identically."""
+    from python_hll_spark.functions.text import unigram_logprob
+
+    import numpy as np
+    rng = np.random.default_rng(21)
+    vocab = ["the", "and", "of"] + [f"rare{i}" for i in range(200)]
+    probs = np.array([0.2, 0.1, 0.05] + [0.65 / 200] * 200)
+    rows = [(i, " ".join(rng.choice(vocab, p=probs, size=40)))
+            for i in range(120)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def run(hw):
+        return sorted(
+            (r["doc_id"], r["n_words"], r["sum_corpus_freq"],
+             r["mean_log10_prob"])
+            for r in unigram_logprob(df, hot_words=hw).collect())
+
+    mixed, all_tail, all_hot = run(3), run(0), run(10 ** 6)
+    assert mixed == all_tail == all_hot
+    # sanity: rare-word docs score lower than stopword-only docs
+    extra = spark.createDataFrame(
+        [(1000, "the the the the"), (1001, "rare0 rare1 rare2 rare3")],
+        "doc_id long, text string")
+    scores = {r["doc_id"]: r["mean_log10_prob"]
+              for r in unigram_logprob(df.unionByName(extra),
+                                       hot_words=3).collect()}
+    assert scores[1000] > scores[1001]
+
+
+def test_unigram_logprob_hot_path_is_broadcast(spark):
+    """Plan shape: the hot-word occurrences must join via BroadcastHashJoin
+    (no shuffle of the skewed keys); only the tail takes a shuffle join."""
+    from python_hll_spark.functions.text import unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    plan = unigram_logprob(docs, hot_words=100) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan  # tail carve-out is the broadcast anti-join
