@@ -48,12 +48,17 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
     cfg = cfg or CMSConfig(depth=5, width=65536)
     spec = CMSSpec(cfg)
     cand_c = max(candidates_per_task, 4 * k)
-    # SpaceSaving-style bounded summary: the per-(task, group) candidate
-    # structure never holds more than `cap` keys no matter how many distinct
-    # keys stream through the task — the 100 TB memory guarantee.  Truncation
-    # can only drop keys whose running count is below the cap'th largest, so
-    # true heavy hitters (the only keys that can reach the final top-k)
-    # always survive; their final counts come from the CMS anyway.
+    # SpaceSaving bounded summary: the per-(task, group) candidate structure
+    # never holds more than `cap` keys no matter how many distinct keys
+    # stream through the task — the 100 TB memory guarantee.  True
+    # SpaceSaving admission semantics: a key not currently tracked enters at
+    # floor + count, where floor is the largest running count ever evicted
+    # for that group.  That makes the tracked count an UPPER bound on the
+    # key's true local frequency (error <= floor), so a heavy hitter that
+    # surges late can never be starved out by early-accumulating keys —
+    # plain restart-at-zero truncation does not provide that guarantee.
+    # Final reported counts come from the CMS, so the admission inflation
+    # never reaches the output.
     cap = 4 * cand_c
 
     if shared_cms:
@@ -90,6 +95,7 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
         group's summary is truncated to `cap` keys after every batch."""
         import pyarrow as pa
         per_group: dict = {}  # gkey tuple -> {key: running count}
+        floors: dict = {}     # gkey tuple -> largest evicted count
         gtypes = ktype = None
         for batch in batches:
             if gtypes is None:
@@ -115,11 +121,15 @@ def cms_topk(df: DataFrame, group_cols: list[str], key_col: str, k: int = 10,
                 gkey = gkeys[code // card]
                 key = kdict[code % card]
                 d = per_group.setdefault(gkey, {})
-                d[key] = d.get(key, 0) + c
+                prev = d.get(key)
+                # SpaceSaving admission: unseen keys inherit the group's
+                # eviction floor so late-surging heavy hitters catch up
+                d[key] = (floors.get(gkey, 0) + c) if prev is None else prev + c
             for gkey, d in per_group.items():
                 if len(d) > cap:
-                    keep = sorted(d.items(), key=lambda kv: (-kv[1], str(kv[0])))[:cap]
-                    per_group[gkey] = dict(keep)
+                    items = sorted(d.items(), key=lambda kv: (-kv[1], str(kv[0])))
+                    per_group[gkey] = dict(items[:cap])
+                    floors[gkey] = max(floors.get(gkey, 0), items[cap][1])
         g_out, k_out, c_out = [], [], []
         for gkey, d in per_group.items():
             items = sorted(d.items(), key=lambda kv: (-kv[1], str(kv[0])))

@@ -111,11 +111,13 @@ def stateful_topk_stream(stream_df: DataFrame, group_col: str, key_col: str,
     """Streaming heavy hitters per group via ``applyInPandasWithState``.
 
     State per group = one CMS (for count estimates with the published
-    eps*N overcount bound) + a bounded SpaceSaving-style candidate summary
-    (same truncation argument as the batch ``cms_topk``: keys that can
-    reach the final top-k always survive the cap).  Candidate memory is
-    bounded at ``capacity`` keys (default 16k) regardless of how many
-    distinct keys stream through — the long-running-stream guarantee.
+    eps*N overcount bound) + a bounded SpaceSaving candidate summary with
+    true admission semantics (same as the batch ``cms_topk``): unseen keys
+    enter at the group's eviction floor (the largest count ever evicted),
+    so a heavy hitter that surges late in the stream catches up instead of
+    being starved by early accumulators.  Candidate memory is bounded at
+    ``capacity`` keys (default 16k) regardless of how many distinct keys
+    stream through — the long-running-stream guarantee.
 
     Keys are hashed JVM-side (xxhash64) before the state function; their
     hashes ride along in the state so estimates never re-hash in Python.
@@ -138,11 +140,11 @@ def stateful_topk_stream(stream_df: DataFrame, group_col: str, key_col: str,
         import numpy as np
 
         if state.exists:
-            blob, keys, counts, hashes, n_rows = state.get
+            blob, keys, counts, hashes, n_rows, floor = state.get
             cms = CMSSketch.from_bytes(bytes(blob))
             summary = {kk: [c, h] for kk, c, h in zip(keys, counts, hashes)}
         else:
-            cms, summary, n_rows = CMSSketch(cfg), {}, 0
+            cms, summary, n_rows, floor = CMSSketch(cfg), {}, 0, 0
         for pdf in pdfs:
             n_rows += len(pdf)
             grouped = pdf.groupby("key", sort=False, dropna=False).agg(
@@ -153,16 +155,19 @@ def stateful_topk_stream(stream_df: DataFrame, group_col: str, key_col: str,
                 kk = None if pd.isna(kk) else kk
                 ent = summary.get(kk)
                 if ent is None:
-                    summary[kk] = [int(cnt), int(h)]
+                    # SpaceSaving admission: unseen keys inherit the
+                    # eviction floor so late heavy hitters catch up
+                    summary[kk] = [floor + int(cnt), int(h)]
                 else:
                     ent[0] += int(cnt)
             if len(summary) > cap:
-                summary = dict(sorted(summary.items(),
-                                      key=lambda kv: -kv[1][0])[:cap])
+                items = sorted(summary.items(), key=lambda kv: -kv[1][0])
+                summary = dict(items[:cap])
+                floor = max(floor, items[cap][1][0])
         keys = list(summary)
         counts = [summary[kk][0] for kk in keys]
         hashes = [summary[kk][1] for kk in keys]
-        state.update((cms.to_bytes(), keys, counts, hashes, n_rows))
+        state.update((cms.to_bytes(), keys, counts, hashes, n_rows, floor))
 
         est = cms.estimate(np.asarray(hashes, dtype=np.int64))
         order = sorted(range(len(keys)),
@@ -181,7 +186,7 @@ def stateful_topk_stream(stream_df: DataFrame, group_col: str, key_col: str,
                                  "n_rows bigint",
                 stateStructType="state binary, keys array<string>, "
                                 "counts array<bigint>, hashes array<bigint>, "
-                                "n_rows bigint",
+                                "n_rows bigint, floor bigint",
                 outputMode="update",
                 timeoutConf=GroupStateTimeout.NoTimeout))
 

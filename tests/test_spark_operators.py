@@ -75,3 +75,40 @@ def test_bloom_membership_no_false_negatives(spark, lineitem):
     fp = bloom_probe(states, absent, "l_partkey", by=["l_returnflag"])
     rate = fp.where("might_contain").count() / 5000
     assert rate < 0.02, rate
+
+
+def test_cms_topk_late_surging_heavy_hitter(spark):
+    """SpaceSaving admission in the batch candidate pass: a heavy hitter
+    spread thinly across many Arrow batches (evicted at every truncation)
+    must still reach the candidate set and rank 1 — restart-at-zero
+    truncation starves it below each batch's fresh keys."""
+    import pandas as pd
+
+    # Arrow batches 1-9: 20 fresh lights x100 (> cap=16, HEAVY at 80 evicted
+    # each truncation); batch 10: HEAVY alone — restart-at-zero would
+    # re-admit it at 80 below the kept lights' 100s and drop it again.
+    rows = []
+    for seg in range(9):
+        for i in range(20):
+            rows += [(seg * 10000 + i * 100 + r, "g", f"l{seg}_{i}")
+                     for r in range(100)]
+        rows += [(seg * 10000 + 5000 + r, "g", "HEAVY") for r in range(80)]
+    rows += [(100000 + r, "g", "HEAVY") for r in range(80)]
+    df = (spark.createDataFrame(rows, "seq long, grp string, key string")
+          .repartition(1).sortWithinPartitions("seq"))
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsInBatch", None)
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsInBatch", "2080")
+    try:
+        from python_hll_spark.operators.topk import cms_topk
+        got = cms_topk(df, ["grp"], "key", k=1,
+                       candidates_per_task=4).collect()
+    finally:
+        if old is None:
+            spark.conf.unset("spark.sql.execution.arrow.maxRecordsInBatch")
+        else:
+            spark.conf.set("spark.sql.execution.arrow.maxRecordsInBatch", old)
+    assert len(got) == 1
+    assert got[0]["key"] == "HEAVY", got
+    # est_count comes from the CMS: true count, not the inflated admission
+    assert 800 <= got[0]["est_count"] <= 800 + int(2.72 / 65536 * 21000) + 1

@@ -155,3 +155,42 @@ def test_streaming_sketch_build_cms_matches_batch(spark, tmp_path):
     assert set(streamed) == set(batch)
     for g in batch:
         assert streamed[g] == batch[g], f"CMS state mismatch for {g}"
+
+
+def test_stateful_topk_late_surging_heavy_hitter(spark, tmp_path):
+    """SpaceSaving admission semantics: a heavy hitter whose occurrences are
+    spread thinly across many micro-batches (evicted and re-admitted each
+    time) must still surface at rank 1 — restart-at-zero truncation would
+    starve it forever below the per-batch fresh keys."""
+    from python_hll_spark.streaming.stream import stateful_topk_stream
+
+    src = str(tmp_path / "late_heavy")
+    # batches 1-9: 20 fresh lights x100 each (> capacity, so HEAVY at 80 is
+    # evicted EVERY batch); batch 10: HEAVY alone.  Restart-at-zero would
+    # re-admit HEAVY at 80 < the 16 kept lights' 100s and drop it at the
+    # final truncation; floor admission re-admits it above the floor.
+    for seg in range(9):
+        rows = [("g", f"l{seg}_{i}") for i in range(20) for _ in range(100)]
+        rows += [("g", "HEAVY")] * 80   # 80/batch, 800 total = true top-1
+        spark.createDataFrame(rows, "grp string, key string") \
+            .coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame([("g", "HEAVY")] * 80, "grp string, key string") \
+        .coalesce(1).write.mode("append").parquet(src)
+
+    df = spark.read.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = stateful_topk_stream(stream, "grp", "key", k=1, capacity=16)
+    q = (out.writeStream.format("memory").queryName("stopk_late")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    final = spark.sql("""
+        SELECT key, est_count FROM (
+            SELECT *, DENSE_RANK() OVER (PARTITION BY g ORDER BY n_rows DESC) rn
+            FROM stopk_late) WHERE rn = 1""").collect()
+    assert [r["key"] for r in final] == ["HEAVY"], final
+    # CMS estimate still tracks the TRUE count (no admission inflation)
+    n_total = df.count()
+    eps_n = (2.718281828 / 65536) * n_total + 1
+    assert 800 <= final[0]["est_count"] <= 800 + eps_n
