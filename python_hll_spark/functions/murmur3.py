@@ -209,6 +209,40 @@ def murmur3_64(values, seed: int = 0) -> np.ndarray:
     return h1.view(np.int64)
 
 
+def murmur3_hash_frame(df, by: list[str], value_col: str,
+                       out: str = "__h"):
+    """(by..., out bigint) frame with mmh3-compatible hashes computed
+    straight from the Arrow string buffers inside ``mapInArrow`` — the
+    scan-speed interop path.  Unlike the pandas-UDF tier there is no
+    pandas object-Series materialization and no per-row ``astype(str)``:
+    the batch's flat utf-8 buffer feeds ``murmur3_x64_128_buffers``
+    directly.  NULL values stay NULL (downstream Arrow builders mask them
+    out, preserving countDistinct semantics)."""
+    import pyarrow as pa
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields if f.name in by)
+    schema = (fields + ", " if fields else "") + f"`{out}` bigint"
+
+    def gen(batches):
+        for batch in batches:
+            v = batch.column(value_col)
+            if isinstance(v, pa.ChunkedArray):
+                v = v.combine_chunks()
+            if v.null_count:
+                valid = v.is_valid().to_numpy(zero_copy_only=False)
+                vals = np.zeros(len(v), dtype=np.int64)
+                if valid.any():
+                    vals[valid] = murmur3_64(v.drop_null())
+                arr = pa.array(vals, pa.int64(), mask=~valid)
+            else:
+                arr = pa.array(murmur3_64(v), pa.int64())
+            cols = [batch.column(c) for c in by] + [arr]
+            yield pa.RecordBatch.from_arrays(cols, names=by + [out])
+
+    return df.mapInArrow(gen, schema=schema)
+
+
 def murmur3_64_udf():
     """Arrow-batched pandas UDF: murmur3 x64_128 first half of a string
     column as signed int64 — the interop hash tier for sketches that must

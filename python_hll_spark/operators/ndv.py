@@ -82,14 +82,18 @@ def hll_ndv_column(df: DataFrame, value_col: str, by: list[str] | None = None,
     spec = HLLSpec(cfg or HLLConfig.create(11, 5))
     by = by or []
     if hasher == "murmur3":
-        from python_hll_spark.functions.murmur3 import murmur3_64_udf
-        hash_expr = murmur3_64_udf()(F.col(value_col).cast("string"))
+        # Arrow-buffer-native hashing (mapInArrow): the flat utf-8 buffer
+        # feeds the vectorized murmur3 kernel directly — no pandas object
+        # Series, no per-row astype(str)
+        from python_hll_spark.functions.murmur3 import murmur3_hash_frame
+        strd = df.select(*by, F.col(value_col).cast("string").alias("__v"))
+        hashed = murmur3_hash_frame(strd, by, "__v")
     elif hasher == "xxhash64":
         hash_expr = F.when(F.col(value_col).isNotNull(),
                            F.xxhash64(F.col(value_col)))
+        hashed = df.select(*by, hash_expr.alias("__h"))
     else:
         raise ValueError(f"unknown hasher {hasher!r}; use 'xxhash64' or 'murmur3'")
-    hashed = df.select(*by, hash_expr.alias("__h"))
     partials = scalar_partials_arrow(hashed, by, "__h", spec, n_salts=n_salts)
     if by:
         states = merge_sketches(partials, by, spec)

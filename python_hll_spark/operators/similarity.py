@@ -11,7 +11,6 @@
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -53,17 +52,82 @@ def _srp_planes(dim: int, n_bits: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_bits, dim))
 
 
-def srp_bucket_udf(dim: int, n_bits: int, seed: int = 42):
+def _batch_matrix(vec, dtype=np.float64) -> np.ndarray:
+    """(n, dim) matrix from an Arrow list/fixed-size-list column by
+    zero-copy buffer flatten — no per-row Python object materialization
+    (the pattern the dedup kernels use).  Embeddings are fixed-dim by
+    contract; ragged input raises rather than silently mis-shaping."""
+    import pyarrow as pa
+    if isinstance(vec, pa.ChunkedArray):
+        vec = vec.combine_chunks()
+    n = len(vec)
+    if pa.types.is_fixed_size_list(vec.type):
+        dim = vec.type.list_size
+        flat = vec.flatten().to_numpy(zero_copy_only=False)
+        return flat.astype(dtype, copy=False).reshape(n, dim)
+    offsets = vec.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    lengths = np.diff(offsets)
+    if n and (lengths != lengths[0]).any():
+        raise ValueError("embedding column is ragged; expected fixed dim")
+    flat = vec.flatten().to_numpy(zero_copy_only=False)
+    return flat.astype(dtype, copy=False).reshape(n, int(lengths[0]) if n else 0)
+
+
+def _arrow_append_column(df: DataFrame, vec_col: str, out: str,
+                         out_type: str, compute_np):
+    """mapInArrow pass-through that appends ``out`` computed from the
+    vector column's (n, dim) matrix — every other column rides along
+    zero-copy, so this is the Arrow-native replacement for a scalar
+    pandas UDF over 10^9 corpus vectors."""
+    import pyarrow as pa
+
+    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
+                       for f in df.schema.fields)
+    schema = f"{fields}, `{out}` {out_type}"
+
+    def gen(batches):
+        for batch in batches:
+            mat = _batch_matrix(batch.column(vec_col))
+            yield batch.append_column(out, pa.array(compute_np(mat)))
+
+    return df.mapInArrow(gen, schema=schema)
+
+
+def with_srp_bucket(df: DataFrame, vec_col: str, dim: int, n_bits: int,
+                    seed: int = 42, out: str = "bucket") -> DataFrame:
+    """Append the SRP bucket id (int32) of ``vec_col`` — one matmul per
+    Arrow batch against the seeded hyperplanes, no per-row Python."""
     planes = _srp_planes(dim, n_bits, seed)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
 
-    @F.pandas_udf("int")
-    def bucket(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
+    def compute(mat):
         bits = (mat @ planes.T) > 0
-        weights = (1 << np.arange(n_bits)).astype(np.int64)
-        return pd.Series((bits @ weights).astype(np.int32))
+        return (bits @ weights).astype(np.int32)
 
-    return bucket
+    return _arrow_append_column(df, vec_col, out, "int", compute)
+
+
+def with_ivf_lists(df: DataFrame, vec_col: str, centroids: np.ndarray,
+                   nprobe: int = 1, out: str = "lists") -> DataFrame:
+    """Append the nprobe nearest IVF list ids (array<int>) — one matmul per
+    Arrow batch against the broadcast-in-closure centroid matrix."""
+    cent = centroids
+
+    def compute(mat):
+        import pyarrow as pa
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        sims = mat @ cent.T
+        if nprobe == 1:
+            top = np.argmax(sims, axis=1)[:, None].astype(np.int32)
+        else:
+            np_eff = min(nprobe, sims.shape[1])
+            top = np.argpartition(-sims, np_eff - 1, axis=1)[:, :np_eff] \
+                .astype(np.int32)
+        flat = pa.array(top.ravel(), pa.int32())
+        return pa.FixedSizeListArray.from_arrays(flat, top.shape[1]) \
+            .cast(pa.list_(pa.int32()))
+
+    return _arrow_append_column(df, vec_col, out, "array<int>", compute)
 
 
 def srp_topk(corpus: DataFrame, probes: DataFrame, k: int = 10, n_bits: int = 8,
@@ -73,11 +137,12 @@ def srp_topk(corpus: DataFrame, probes: DataFrame, k: int = 10, n_bits: int = 8,
     within buckets.  With multiprobe, each probe also scans hamming-1 buckets
     (recall boost at (n_bits+1)x candidate cost)."""
     dim = len(corpus.select(vec_col).first()[0])
-    bucket = srp_bucket_udf(dim, n_bits, seed)
 
-    c = corpus.select(id_col, vec_col).withColumn("bucket", bucket(F.col(vec_col)))
-    p = probes.select("probe_id", F.col(vec_col).alias("__pv")) \
-        .withColumn("bucket", bucket(F.col("__pv")))
+    c = with_srp_bucket(corpus.select(id_col, vec_col), vec_col,
+                        dim, n_bits, seed)
+    p = with_srp_bucket(probes.select("probe_id",
+                                      F.col(vec_col).alias("__pv")),
+                        "__pv", dim, n_bits, seed)
     if multiprobe:
         flips = F.array(*[F.lit(0)] + [F.lit(1 << i) for i in range(n_bits)])
         p = (p.withColumn("flip", F.explode(flips))
@@ -129,26 +194,6 @@ def ivf_train(corpus: DataFrame, n_lists: int = 64, vec_col: str = "embedding",
     return _spherical_kmeans(sample, n_lists, seed=seed)
 
 
-def ivf_assign_udf(centroids: np.ndarray, nprobe: int = 1):
-    """Arrow-batched assignment: one matmul per batch against the broadcast
-    centroid matrix; returns the nprobe nearest list ids."""
-    cent = centroids
-
-    @F.pandas_udf("array<int>")
-    def assign(vecs: pd.Series) -> pd.Series:
-        mat = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        sims = mat @ cent.T
-        if nprobe == 1:
-            top = np.argmax(sims, axis=1)[:, None]
-        else:
-            np_eff = min(nprobe, sims.shape[1])
-            top = np.argpartition(-sims, np_eff - 1, axis=1)[:, :np_eff]
-        return pd.Series([row.astype(np.int32).tolist() for row in top])
-
-    return assign
-
-
 def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
              n_lists: int = 64, nprobe: int = 8, id_col: str = "vec_id",
              vec_col: str = "embedding", seed: int = 42,
@@ -162,13 +207,15 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
     is an equi-join Catalyst shuffles/broadcasts like any other key."""
     if centroids is None:
         centroids = ivf_train(corpus, n_lists, vec_col, seed)
-    c_assign = ivf_assign_udf(centroids, nprobe=1)
-    p_assign = ivf_assign_udf(centroids, nprobe=nprobe)
-
-    c = (corpus.select(id_col, vec_col)
-         .withColumn("list_id", F.element_at(c_assign(F.col(vec_col)), 1)))
-    p = (probes.select("probe_id", F.col(vec_col).alias("__pv"))
-         .withColumn("list_id", F.explode(p_assign(F.col("__pv")))))
+    c = (with_ivf_lists(corpus.select(id_col, vec_col), vec_col,
+                        centroids, nprobe=1)
+         .withColumn("list_id", F.element_at(F.col("lists"), 1))
+         .drop("lists"))
+    p = (with_ivf_lists(probes.select("probe_id",
+                                      F.col(vec_col).alias("__pv")),
+                        "__pv", centroids, nprobe=nprobe)
+         .withColumn("list_id", F.explode(F.col("lists")))
+         .drop("lists"))
     joined = c.join(F.broadcast(p), on="list_id").drop("list_id")
     scored = with_cosine(joined, vec_col, "__pv", out="cosine") \
         .dropDuplicates(["probe_id", id_col])
@@ -195,8 +242,8 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     lands in exactly ONE bucket, so small/large pair sets are disjoint and
     no distinct (extra shuffle) is needed."""
     dim = len(df.select(vec_col).first()[0])
-    bucket = srp_bucket_udf(dim, n_bits, seed)
-    tagged = df.select(id_col, vec_col).withColumn("bucket", bucket(F.col(vec_col)))
+    tagged = with_srp_bucket(df.select(id_col, vec_col), vec_col,
+                             dim, n_bits, seed)
     sizes = (tagged.groupBy("bucket")
              .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
     sized = tagged.join(sizes, "bucket")

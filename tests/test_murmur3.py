@@ -125,3 +125,26 @@ def test_murmur3_udf_null_safe(spark):
     out = df.select(murmur3_64_udf()(F.col("s")).alias("h")).collect()
     assert out[1]["h"] is None
     assert out[0]["h"] == np.int64(np.uint64(murmur3_x64_128_scalar(b"a")[0])).item()
+
+
+def test_murmur3_hash_frame_matches_udf_and_keeps_nulls(spark):
+    """The Arrow-buffer mapInArrow path must hash identically to the
+    pandas-UDF tier (both mmh3-compatible) and preserve NULLs."""
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.functions.murmur3 import (murmur3_64_udf,
+                                                    murmur3_hash_frame)
+
+    rows = [(f"v{i}" * (i % 7), "g") for i in range(500)]
+    rows += [(None, "g"), ("", "h"), (None, "h")]
+    df = spark.createDataFrame(rows, "v string, g string")
+    frame = murmur3_hash_frame(df.select("g", "v"), ["g"], "v") \
+        .groupBy("g").agg(F.sum(F.col("__h").cast("decimal(38,0)")).alias("s"),
+                          F.count("__h").alias("n"))
+    udf = df.select("g", murmur3_64_udf()(F.col("v")).alias("__h")) \
+        .groupBy("g").agg(F.sum(F.col("__h").cast("decimal(38,0)")).alias("s"),
+                          F.count("__h").alias("n"))
+    a = {r["g"]: (r["s"], r["n"]) for r in frame.collect()}
+    b = {r["g"]: (r["s"], r["n"]) for r in udf.collect()}
+    assert a == b
+    assert a["g"][1] == 500  # nulls not hashed
