@@ -896,6 +896,32 @@ def q_near_dedup_dup_invariant(spark, sf_dir):
                     .alias("pair_collapsed")))
 
 
+def q_near_dedup_tokens_invariant(spark, sf_dir):
+    """Same duplicate-injection invariant for the PRE-TOKENIZED near-dedup
+    composition (minhash_signatures_tokens -> capped LSH -> CC -> keep),
+    the pipeline a tokenized 100 TB corpus actually runs: documents are
+    tokenized JVM-side (word xxhash64 ints), every doc gets an exact copy
+    under a shifted id, and at most one of each pair may survive."""
+    from python_hll_spark.operators.dedup import near_dedup_tokens
+
+    docs = _read(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.transform(_norm_words(F.col("text")),
+                    lambda w: F.xxhash64(w).bitwiseAND(F.lit(0x7FFFFFFF))
+                    .cast("int")).alias("tokens"))
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "tokens")
+    kept = near_dedup_tokens(docs.unionByName(shifted), threshold=0.9,
+                             num_hashes=64, bands=16).select("doc_id")
+    orig = F.when(F.col("doc_id") >= 1000000,
+                  F.col("doc_id") - 1000000).otherwise(F.col("doc_id"))
+    survivors = (kept.select(orig.alias("doc_id"))
+                 .groupBy("doc_id").agg(F.count("*").alias("n_kept")))
+    return (docs.select("doc_id").join(survivors, "doc_id", "left")
+            .select("doc_id",
+                    (F.coalesce(F.col("n_kept"), F.lit(0)) <= 1)
+                    .alias("pair_collapsed")))
+
+
 def q_winnowing_dup_invariant(spark, sf_dir):
     """Winnowing invariants, oracle-checked: identical text -> identical
     fingerprint set; fingerprint count bounded by the k-gram count; plus
@@ -1028,6 +1054,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
         "near_dedup_documents": q_near_dedup_documents,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
+        "near_dedup_tokens_invariant": q_near_dedup_tokens_invariant,
         "minhash_tokens_dup_invariant": q_minhash_tokens_dup_invariant,
         "sample_counts_by_source": q_sample_counts_by_source,
         "repetition_stats_documents": q_repetition_stats_documents,
@@ -1195,6 +1222,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, TRUE AS dup_hamming_zero FROM documents
         """,
         "near_dedup_dup_invariant": """
+            SELECT doc_id, TRUE AS pair_collapsed FROM documents
+        """,
+        "near_dedup_tokens_invariant": """
             SELECT doc_id, TRUE AS pair_collapsed FROM documents
         """,
         "minhash_tokens_dup_invariant": """

@@ -267,20 +267,33 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
 
     banded = _band_keys_frame(sig_df, bands, id_col)
 
-    # bucket sizes + representative: one aggregation on the same join key
-    # the self-join shuffles on (AQE reuses the exchange)
+    # Oversize buckets are BOUNDED in number: at most rows/max_bucket =
+    # bands*N/max_bucket of them, each one row here — KBs in any realistic
+    # corpus (they are hash-collision floods / exact-dup clusters).  So the
+    # size tagging broadcasts just the oversize bucket keys instead of
+    # joining a 1-row-per-bucket frame back onto EVERY banded row: the old
+    # shape put the (groupBy + wide join) sub-DAG under THREE consumers
+    # (self-join a/b + star branch) and executed it three times — 3.5x the
+    # wall of this plan at 2M docs.  At extreme dup density raise
+    # max_bucket to keep the broadcast side small.
     sizes = (banded.groupBy("band", "band_key")
              .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
-    tagged = banded.join(sizes, ["band", "band_key"])
-    small = tagged.where(F.col("__bsz") <= max_bucket) \
-        .select("band", "band_key", id_col)
-    a, b = small.alias("a"), small.alias("b")
+    big = sizes.where(F.col("__bsz") > max_bucket) \
+        .select("band", "band_key", "__rep")
+    bbig = F.broadcast(big)
+    # the SAME broadcast frame feeds both branches so the sizes
+    # aggregation runs once (identical exchanges get ReusedExchange)
+    small = banded.join(bbig, ["band", "band_key"], "left_anti")
+    # shuffle-hash beats sort-merge here: both sides are the same large
+    # narrow frame, keys are near-unique, and the bucket cap already
+    # bounds per-partition skew — no reason to sort 2x banded rows
+    a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
     pairs_small = (a.join(b, on=["band", "band_key"])
                    .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                    .select(F.col(f"a.{id_col}").alias("id_a"),
                            F.col(f"b.{id_col}").alias("id_b")))
-    pairs_large = (tagged.where((F.col("__bsz") > max_bucket)
-                                & (F.col(id_col) != F.col("__rep")))
+    pairs_large = (banded.join(bbig, ["band", "band_key"])
+                   .where(F.col(id_col) != F.col("__rep"))
                    .select(F.col("__rep").alias("id_a"),
                            F.col(id_col).alias("id_b")))
     pairs = pairs_small.unionByName(pairs_large).distinct()
@@ -409,18 +422,22 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
                      .bitwiseAND(F.lit(0xFFFF)).alias("ckey"))
             for i in range(4)])).alias("c")
     ).select(id_col, "c.chunk", "c.ckey")
+    # same broadcast-the-oversize-keys shape as lsh_candidate_pairs: the
+    # oversize set is bounded by 4*N/max_bucket rows, so it broadcasts
+    # instead of joining sizes back onto every chunk row three times
     sizes = (chunks.groupBy("chunk", "ckey")
              .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
-    tagged = chunks.join(sizes, ["chunk", "ckey"])
-    small = tagged.where(F.col("__bsz") <= max_bucket) \
-        .select("chunk", "ckey", id_col)
-    a, b = small.alias("a"), small.alias("b")
+    big = sizes.where(F.col("__bsz") > max_bucket) \
+        .select("chunk", "ckey", "__rep")
+    bbig = F.broadcast(big)
+    small = chunks.join(bbig, ["chunk", "ckey"], "left_anti")
+    a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
     pairs_small = (a.join(b, on=["chunk", "ckey"])
                    .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                    .select(F.col(f"a.{id_col}").alias("id_a"),
                            F.col(f"b.{id_col}").alias("id_b")))
-    pairs_large = (tagged.where((F.col("__bsz") > max_bucket)
-                                & (F.col(id_col) != F.col("__rep")))
+    pairs_large = (chunks.join(bbig, ["chunk", "ckey"])
+                   .where(F.col(id_col) != F.col("__rep"))
                    .select(F.col("__rep").alias("id_a"),
                            F.col(id_col).alias("id_b")))
     pairs = pairs_small.unionByName(pairs_large).distinct()
@@ -593,6 +610,35 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                                 id_col, sigs=sigs).select("id_a", "id_b")
     # connected_components materializes the edge list eagerly (checkpoint +
     # per-iteration action), so the signature cache can be released here
+    comps = connected_components(pairs)
+    sigs.unpersist()
+    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
+    drop_ids = (comps.join(keep, "component")
+                .where(F.col("id") != F.col("keep_id"))
+                .select(F.col("id").alias(id_col)))
+    return df.join(drop_ids, on=id_col, how="left_anti")
+
+
+def near_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
+                      id_col: str = "doc_id", threshold: float = 0.8,
+                      num_hashes: int = 128, bands: int = 32,
+                      n: int = 3) -> DataFrame:
+    """Near-duplicate REMOVAL over PRE-TOKENIZED docs (the input_hint table
+    shape) — the composition a 100 TB tokenized corpus actually runs:
+
+        minhash_signatures_tokens (one shuffle-free Arrow pass)
+        -> lsh_candidate_pairs    (banded, bucket-capped 8-byte-key join)
+        -> connected_components   (large-star/small-star, O(log d) rounds)
+        -> keep min-id representative per duplicate cluster
+
+    Returns the deduplicated rows of ``df`` (all original columns)."""
+    sigs = minhash_signatures_tokens(df, tokens_col, n, num_hashes,
+                                     id_col).persist()
+    pairs = (lsh_candidate_pairs(sigs, bands, id_col)
+             .where(F.col("est_jaccard") >= threshold)
+             .select("id_a", "id_b"))
+    # connected_components materializes the edge list eagerly (checkpoint +
+    # per-iteration action), so the signature cache can be released after
     comps = connected_components(pairs)
     sigs.unpersist()
     keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
