@@ -173,6 +173,15 @@ def minhash_signatures_tokens(df: DataFrame, tokens_col: str = "tokens",
                     step = splitmix64(flat[idx_j], seed=j).view(np.uint64)
                     acc ^= step
                     acc *= np.uint64(0x9E3779B97F4A7C15)
+                # short docs (m < n) get ONE clamped window; mix the true
+                # token count in so [a,b] and [a,b,b] (whose clamped chains
+                # coincide) hash differently — without this, docs differing
+                # only by trailing repeats of their last token collide
+                short = lengths[doc_of_w] < n
+                if short.any():
+                    lm = splitmix64(lengths[doc_of_w][short], seed=n) \
+                        .view(np.uint64)
+                    acc[short] ^= lm
                 sh = acc  # flat shingle hashes, window-major per doc
                 w_offsets = cum[:-1][counts > 0]
                 nonempty = counts > 0

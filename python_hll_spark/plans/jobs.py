@@ -72,8 +72,8 @@ def _build_quantiles(args) -> None:
 def _prepare_corpus(args) -> None:
     """Full training-corpus preparation as a spark-submit job: redact ->
     filter -> dedup -> (optional) decontaminate -> (optional) rebalance.
-    Stage metrics go to stderr as one JSON line; the clean corpus to
-    ``--output`` parquet."""
+    Stage metrics go to STDOUT as one JSON line (spark-submit routes the
+    driver's stderr unreliably); the clean corpus to ``--output`` parquet."""
     from python_hll_spark.plans.pipeline import (
         CorpusFilterConfig, prepare_corpus)
 

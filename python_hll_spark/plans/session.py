@@ -28,6 +28,10 @@ DEFAULT_CONF = {
     "spark.sql.shuffle.partitions": "32",
     # 128MB scan splits (parquet row-group aligned) — the 100TB default.
     "spark.sql.files.maxPartitionBytes": "134217728",
+    # Iterative algorithms (connected components) reliable-checkpoint every
+    # round; without this the checkpoint files outlive their RDDs and a
+    # long-running session's disk grows without bound.
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
 }
 
 

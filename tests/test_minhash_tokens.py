@@ -62,3 +62,16 @@ def test_empty_docs_never_pair(spark, tok_docs):
     pairs = lsh_candidate_pairs(sigs, bands=32).collect()
     ids_in_pairs = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
     assert 901 not in ids_in_pairs  # sentinel sigs dropped at banding
+
+
+def test_short_doc_trailing_repeat_not_collided(spark):
+    """[a,b] and [a,b,b] must NOT share a signature: the short-doc window
+    clamp repeats the last token, so without the length mix their chains
+    coincide.  Identical short docs still collide (same content)."""
+    rows = [(1, [7, 9]), (2, [7, 9, 9]), (3, [7, 9]), (4, [7]), (5, [7, 7])]
+    df = spark.createDataFrame(rows, "doc_id long, tokens array<int>")
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in
+            minhash_signatures_tokens(df, n=3, num_hashes=32).collect()}
+    assert sigs[1] == sigs[3]          # identical short docs
+    assert sigs[1] != sigs[2]          # trailing repeat distinguishes
+    assert sigs[4] != sigs[5]          # [a] vs [a,a]
