@@ -819,6 +819,24 @@ def q_near_dedup_documents(spark, sf_dir):
     return kept.select("doc_id")
 
 
+def q_incremental_dedup_documents(spark, sf_dir):
+    """Incremental dedup of a NEW crawl batch (doc_id % 3 == 0) against the
+    fingerprint store of the EXISTING corpus (the other two thirds) —
+    within-batch min-id dedup plus an 8-byte-key anti-join, oracle-checked
+    against normalized-text set semantics."""
+    from python_hll_spark.operators.dedup import (
+        fingerprint_frame, incremental_dedup)
+
+    docs = _read(spark, sf_dir, "documents")
+    existing = docs.where(F.col("doc_id") % 3 != 0)
+    new = docs.where(F.col("doc_id") % 3 == 0)
+    kept = incremental_dedup(new, fingerprint_frame(existing))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_new_unique"),
+                 F.sum("doc_id").alias("id_sum"))
+            .orderBy("source"))
+
+
 def q_winnowing_documents(spark, sf_dir):
     """Rolling-hash winnowing fingerprints (hash-seeded; rows-only check)."""
     from python_hll_spark.functions.text import winnowing_fingerprints
@@ -1066,6 +1084,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets_documents": q_length_buckets_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
+        "incremental_dedup_documents": q_incremental_dedup_documents,
         "winnowing_documents": q_winnowing_documents,
         "token_profile_seqs": q_token_profile_seqs,
         "prepare_corpus_documents": q_prepare_corpus_documents,
@@ -1167,6 +1186,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
             FROM documents
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        """,
+        "incremental_dedup_documents": """
+            WITH existing AS (
+                SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents WHERE doc_id % 3 <> 0
+            ),
+            new_batch AS (
+                SELECT doc_id, source,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents WHERE doc_id % 3 = 0
+            ),
+            rep AS (
+                SELECT min(doc_id) AS doc_id FROM new_batch GROUP BY norm
+            ),
+            kept AS (
+                SELECT n.source, n.doc_id FROM new_batch n
+                JOIN rep r ON n.doc_id = r.doc_id
+                WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.norm = n.norm)
+            )
+            SELECT source, count(*) AS n_new_unique, sum(doc_id) AS id_sum
+            FROM kept GROUP BY source ORDER BY source
         """,
         "text_stats_documents": """
             SELECT doc_id,

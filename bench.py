@@ -123,8 +123,16 @@ def _near_dedup_worker(n_cores: int, n_docs: int) -> dict:
     spark = get_spark(f"bench-neardedup-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(32, n_cores))
     spark.sparkContext.setLogLevel("ERROR")
-    df = (spark.read.parquet(SEQS_CACHE)
-          .where(F.col("doc_id") < f"doc-{n_docs:012d}"))
+    # materialize the doc subset ONCE (untimed), spread over enough files
+    # that every core count reads balanced input — the doc_id prefix filter
+    # otherwise lands in a handful of row groups of the full-table parquet
+    # and caps parallelism at those few partitions
+    subset = f"{SEQS_CACHE}_sub{n_docs}"
+    if not os.path.exists(os.path.join(subset, "_SUCCESS")):
+        (spark.read.parquet(SEQS_CACHE)
+         .where(F.col("doc_id") < f"doc-{n_docs:012d}")
+         .repartition(64).write.mode("overwrite").parquet(subset))
+    df = spark.read.parquet(subset)
     stats = df.agg(F.sum("n_tok"), F.count("*")).collect()[0]
     n_tokens, n_rows = int(stats[0]), int(stats[1])
 

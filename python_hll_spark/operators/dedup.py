@@ -29,6 +29,39 @@ def dedup_exact(df: DataFrame, text_col: str = "text",
             .drop("__fp"))
 
 
+def fingerprint_frame(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """(fp bigint) distinct content fingerprints of ``df`` — the 8-byte/doc
+    frame an incremental-dedup store persists between corpus refreshes."""
+    return (df.select(doc_fingerprint(F.col(text_col)).alias("fp"))
+            .distinct())
+
+
+def incremental_dedup(new_df: DataFrame, seen_fps: DataFrame,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Dedup a NEW batch against a persisted fingerprint store — the daily
+    -crawl-increment shape: yesterday's 100 TB corpus is represented by its
+    (fp) frame (8 bytes/doc), today's batch is deduped within itself (min-id
+    representative per fingerprint) and then anti-joined against the store.
+
+    Scale shape: text never shuffles — the batch side reduces to one row
+    per distinct fingerprint before the join, and both join sides are
+    8-byte keys.  Write the store parquet bucketed by ``fp`` (see
+    ``sources/bucketed``) to make the anti-join zero-Exchange on the store
+    side; new fingerprints to append after a run are
+    ``fingerprint_frame(kept_batch)``.
+
+    Returns the surviving rows of ``new_df`` (all original columns)."""
+    fp = doc_fingerprint(F.col(text_col)).alias("__fp")
+    batch_rep = (new_df
+                 .select(F.col(id_col), fp)
+                 .groupBy("__fp")
+                 .agg(F.min(id_col).alias(id_col)))
+    fresh = batch_rep.join(
+        seen_fps.select(F.col("fp").alias("__fp")), "__fp", "left_anti")
+    return new_df.join(fresh.select(id_col), id_col, "left_semi")
+
+
 def fan_out_small_input(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
     """Repartition ONLY when the input has fewer partitions than cores.
 
@@ -58,9 +91,66 @@ def with_shingle_hashes(df: DataFrame, text_col: str = "text", n: int = 3,
     return df.select(F.col(id_col), F.array_distinct(sh).alias("shingles"))
 
 
+# ------------------------------------------------------------- tokenizer
+def tokenize_word_hashes(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, tokens array<bigint>): lowercase + whitespace word split + 64-bit
+    murmur3 word hashes, ONE Arrow pass — turns raw text into the
+    pre-tokenized shape ``minhash_signatures_tokens`` consumes.
+
+    This replaces the interpreted JVM higher-order shingle expressions
+    (``F.transform`` + ``xxhash64`` never reach codegen) with Arrow utf8
+    kernels (``utf8_lower`` + ``utf8_split_whitespace`` on the chunk's
+    contiguous string buffer) and the vectorized murmur3 lane kernel over
+    the flat word buffer.  No per-row Python, no shuffle.
+
+    Note: Arrow's split emits empty strings around leading/trailing
+    whitespace (and for empty/null docs); those are masked out, so an
+    empty doc yields an EMPTY token list (sentinel signature downstream)
+    rather than the JVM path's hash-of-"" singleton."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from python_hll_spark.functions.murmur3 import murmur3_64
+
+    df = fan_out_small_input(df)
+
+    def gen(batches):
+        for batch in batches:
+            txt = batch.column(text_col)
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            words = pc.utf8_split_whitespace(pc.utf8_lower(txt))
+            offs = words.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            offs = offs - offs[0]
+            flat = words.flatten()
+            keep = pc.greater(pc.utf8_length(flat), 0)
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            # per-doc kept-word counts via prefix sums (reduceat mishandles
+            # empty segments); null docs have zero-extent offsets -> 0
+            csum = np.concatenate(
+                [[0], np.cumsum(keep_np.astype(np.int64))])
+            counts = csum[offs[1:]] - csum[offs[:-1]]
+            hashes = murmur3_64(flat.filter(keep))
+            tok_offsets = pa.array(
+                np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
+            tok_arr = pa.ListArray.from_arrays(tok_offsets, pa.array(hashes))
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            yield pa.RecordBatch.from_arrays(
+                [ids, tok_arr], names=[id_col, "tokens"])
+
+    id_type = dict(df.dtypes)[id_col]
+    return df.select(id_col, text_col).mapInArrow(
+        gen, schema=f"`{id_col}` {id_type}, tokens array<bigint>")
+
+
 # ---------------------------------------------------------------- MinHash
 def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
-                       num_hashes: int = 128, id_col: str = "doc_id") -> DataFrame:
+                       num_hashes: int = 128, id_col: str = "doc_id",
+                       tokenizer: str = "arrow") -> DataFrame:
     """(id, sig array<bigint>): K permutation-minima over shingle hashes.
 
     Arrow-native: shingle lists flatten zero-copy; per-doc minima come from
@@ -69,9 +159,20 @@ def minhash_signatures(df: DataFrame, text_col: str = "text", n: int = 3,
     family is 2-universal multiply-add ``h_k(x) = A_k*x + B_k (mod 2^64)``
     with odd ``A_k`` (a bijection): the shingle hashes are already
     splitmix64-mixed, so one multiply+add per permutation replaces a full
-    6-op finalizer pass — 3x less work in the 128-pass hot loop."""
+    6-op finalizer pass — 3x less work in the 128-pass hot loop.
+
+    ``tokenizer="arrow"`` (default) tokenizes+hashes words in one Arrow
+    pass (``tokenize_word_hashes``) and reuses the pre-tokenized chain
+    kernel — no interpreted JVM shingle expressions anywhere on the hot
+    path.  ``tokenizer="jvm"`` keeps the original xxhash64 higher-order
+    expression pipeline (different hash family, hence different — equally
+    valid — signatures; exact-duplicate texts collapse under both)."""
     import pyarrow as pa
 
+    if tokenizer == "arrow":
+        return minhash_signatures_tokens(
+            tokenize_word_hashes(df, text_col, id_col), "tokens",
+            n, num_hashes, id_col)
     shingled = with_shingle_hashes(df, text_col, n, id_col)
     ks = np.arange(1, num_hashes + 1, dtype=np.int64)
     A = splitmix64(ks, seed=0xA5).view(np.uint64) | np.uint64(1)
@@ -336,7 +437,8 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
 
 # ---------------------------------------------------------------- SimHash
 def simhash_signatures(df: DataFrame, text_col: str = "text",
-                       id_col: str = "doc_id") -> DataFrame:
+                       id_col: str = "doc_id",
+                       tokenizer: str = "arrow") -> DataFrame:
     """(id, simhash bigint): 64-bit sign-sum fingerprint over word hashes.
 
     Arrow-native, no per-row Python: word-hash lists flatten zero-copy,
@@ -344,11 +446,20 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
     64) bit matrix for a whole chunk at once, and ``np.add.reduceat`` at
     doc boundaries gives per-doc bit-vote sums; signatures re-assemble with
     ``np.packbits``.  Chunked at doc boundaries so the bit matrix stays
-    ~8 MB regardless of batch size."""
-    df = fan_out_small_input(df)
-    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
-    hashed = df.select(F.col(id_col),
-                       F.transform(words, lambda w: F.xxhash64(w)).alias("wh"))
+    ~8 MB regardless of batch size.
+
+    ``tokenizer="arrow"`` (default) sources the per-word hashes from the
+    shared ``tokenize_word_hashes`` Arrow pass; ``tokenizer="jvm"`` keeps
+    the original interpreted xxhash64 higher-order expression (different
+    hash family -> different, equally valid signatures)."""
+    if tokenizer == "arrow":
+        hashed = tokenize_word_hashes(df, text_col, id_col) \
+            .withColumnRenamed("tokens", "wh")
+    else:
+        df = fan_out_small_input(df)
+        words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        hashed = df.select(F.col(id_col),
+                           F.transform(words, lambda w: F.xxhash64(w)).alias("wh"))
 
     CHUNK_WORDS = 131072  # 64-wide uint8 bit matrix ~8MB per chunk
 

@@ -238,6 +238,32 @@ def stateful_quantiles_stream(stream_df: DataFrame, group_col: str,
                 timeoutConf=GroupStateTimeout.NoTimeout))
 
 
+def dedup_stream(stream_df: DataFrame, text_col: str = "text",
+                 ts_col: str | None = None,
+                 watermark: str = "10 minutes") -> DataFrame:
+    """Streaming exact dedup: emit only the FIRST occurrence of each
+    content fingerprint (normalized-text hash) seen on the stream.
+
+    With ``ts_col`` the dedup state is bounded by the watermark
+    (``dropDuplicatesWithinWatermark``) — the 100 TB-friendly mode: state
+    holds only fingerprints younger than the watermark horizon, so a
+    perpetual crawl stream cannot grow state without bound (duplicates
+    farther apart than the horizon are the batch ``incremental_dedup``
+    store's job).  Without ``ts_col`` state is unbounded exact
+    ``dropDuplicates`` — acceptable only for finite replays."""
+    from python_hll_spark.functions.text import doc_fingerprint
+
+    fp_df = stream_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+    if ts_col is not None:
+        fp_df = (fp_df
+                 .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+                 .withWatermark(ts_col, watermark)
+                 .dropDuplicatesWithinWatermark(["__fp"]))
+    else:
+        fp_df = fp_df.dropDuplicates(["__fp"])
+    return fp_df.drop("__fp")
+
+
 def windowed_ndv_stream(stream_df: DataFrame, ts_col: str, key_col: str,
                         window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Watermarked approximate NDV per event-time window using Spark's

@@ -1,0 +1,150 @@
+"""Incremental dedup against a persisted fingerprint store + streaming
+exact dedup + the shared Arrow tokenizer feeding MinHash/SimHash."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_dedup_semantics(spark):
+    from python_hll_spark.operators.dedup import (
+        fingerprint_frame, incremental_dedup)
+
+    existing = _docs(spark, [(1, "alpha beta"), (2, "gamma delta")])
+    store = fingerprint_frame(existing)
+    new = _docs(spark, [
+        (10, "  Alpha   BETA "),   # normalizes to a stored doc -> dropped
+        (11, "epsilon zeta"),      # fresh
+        (12, "epsilon zeta"),      # within-batch dupe of 11 -> dropped
+        (13, "eta theta"),         # fresh
+    ])
+    kept = sorted(r["doc_id"] for r in
+                  incremental_dedup(new, store).collect())
+    assert kept == [11, 13]
+
+
+def test_incremental_dedup_empty_store(spark):
+    from python_hll_spark.operators.dedup import (
+        fingerprint_frame, incremental_dedup)
+
+    store = fingerprint_frame(_docs(spark, []))
+    new = _docs(spark, [(1, "a b"), (2, "a b"), (3, "c")])
+    kept = sorted(r["doc_id"] for r in
+                  incremental_dedup(new, store).collect())
+    assert kept == [1, 3]
+
+
+def test_incremental_dedup_keeps_all_columns(spark):
+    from python_hll_spark.operators.dedup import (
+        fingerprint_frame, incremental_dedup)
+
+    new = spark.createDataFrame([(1, "x y", "web")],
+                                "doc_id long, text string, source string")
+    store = fingerprint_frame(_docs(spark, [(9, "other")]))
+    out = incremental_dedup(new, store)
+    assert set(out.columns) == {"doc_id", "text", "source"}
+    assert out.collect()[0]["source"] == "web"
+
+
+def test_dedup_stream_first_occurrence(spark, tmp_path):
+    """Streaming exact dedup with watermark-bounded state: every distinct
+    normalized text survives exactly once across micro-batches."""
+    from python_hll_spark.streaming.stream import dedup_stream
+
+    rows = [(i, f"doc {i % 7}", f"2024-01-01 00:{i:02d}:00")
+            for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, ts string") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    src = str(tmp_path / "docs_stream")
+    df.repartition(5).write.parquet(src)
+
+    stream = (spark.readStream.schema(spark.read.parquet(src).schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = dedup_stream(stream, "text", ts_col="ts", watermark="1 hour")
+    q = (out.writeStream.format("memory").queryName("dedup_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+
+    got = spark.sql("SELECT * FROM dedup_s").collect()
+    texts = [r["text"] for r in got]
+    assert sorted(texts) == sorted(set(texts))        # no dupes survive
+    assert set(texts) == {f"doc {k}" for k in range(7)}  # nothing lost
+
+
+def test_dedup_stream_unbounded_mode(spark, tmp_path):
+    from python_hll_spark.streaming.stream import dedup_stream
+
+    df = _docs(spark, [(1, "a"), (2, "a"), (3, "b")])
+    src = str(tmp_path / "s2")
+    df.write.parquet(src)
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = dedup_stream(stream, "text")
+    q = (out.writeStream.format("memory").queryName("dedup_u")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    texts = sorted(r["text"] for r in spark.sql("SELECT * FROM dedup_u").collect())
+    assert texts == ["a", "b"]
+
+
+# ------------------------------------------------------- Arrow tokenizer
+def test_tokenize_word_hashes_matches_murmur3(spark):
+    from python_hll_spark.functions.murmur3 import murmur3_64
+    from python_hll_spark.operators.dedup import tokenize_word_hashes
+
+    df = _docs(spark, [(1, "  Hello   WORLD "), (2, ""), (3, "one"),
+                       (4, "a\tb\nc")])
+    toks = {r["doc_id"]: list(r["tokens"]) for r in
+            tokenize_word_hashes(df).collect()}
+    exp1 = [int(h) for h in murmur3_64(["hello", "world"])]
+    assert toks[1] == exp1
+    assert toks[2] == []                      # empty -> empty token list
+    assert toks[3] == [int(murmur3_64(["one"])[0])]
+    assert toks[4] == [int(h) for h in murmur3_64(["a", "b", "c"])]
+
+
+def test_minhash_arrow_tokenizer_collapses_exact_dupes(spark):
+    from python_hll_spark.operators.dedup import minhash_signatures
+
+    df = _docs(spark, [(1, "the quick brown fox jumps over the lazy dog"),
+                       (2, "The  QUICK brown fox jumps over the lazy dog"),
+                       (3, "a completely different document about sparks")])
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in
+            minhash_signatures(df, num_hashes=32, n=3).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_minhash_tokenizers_agree_on_est_jaccard(spark):
+    """Arrow and JVM tokenizers are different hash families but must give
+    statistically consistent Jaccard estimates on the same near-dup pair."""
+    from python_hll_spark.operators.dedup import (
+        lsh_candidate_pairs, minhash_signatures)
+
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon") * 3
+    near = base + " phi chi"
+    df = _docs(spark, [(1, base), (2, near)])
+    for tok in ("arrow", "jvm"):
+        sigs = minhash_signatures(df, num_hashes=128, n=3, tokenizer=tok)
+        pairs = lsh_candidate_pairs(sigs, bands=32).collect()
+        assert len(pairs) == 1, tok
+        assert pairs[0]["est_jaccard"] > 0.75, (tok, pairs)
+
+
+def test_simhash_arrow_tokenizer(spark):
+    from python_hll_spark.operators.dedup import simhash_signatures
+
+    df = _docs(spark, [(1, "one two three four five six seven eight"),
+                       (2, "ONE two  three four five six seven eight"),
+                       (3, "totally unrelated words here entirely")])
+    for tok in ("arrow", "jvm"):
+        sigs = {r["doc_id"]: r["simhash"] for r in
+                simhash_signatures(df, tokenizer=tok).collect()}
+        assert sigs[1] == sigs[2], tok
+        ham = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
+        assert ham > 10, (tok, ham)
