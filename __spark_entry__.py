@@ -70,22 +70,29 @@ def q_hll_ndv_parts_by_returnflag(spark, sf_dir):
 
 
 def q_hll_ndv_words_by_source(spark, sf_dir):
-    """Explode-free estimate path: words are hashed INSIDE the array with
-    JVM-codegen xxhash64 (transform), so the sketch build never pays the
-    explode row expansion — only the exact-count check machinery does."""
-    from python_hll_spark.operators.ndv import hll_ndv_tokens
+    """Word-NDV with the distinct-first plan: vocabulary << corpus (true of
+    any natural-language corpus — ~10^7 words vs 10^12 tokens at 100 TB),
+    so ONE pass computes per-partition partial-distinct (source, word-hash)
+    pairs, the shuffle moves only the vocabulary, and BOTH the HLL sketch
+    and the exact check then run over the tiny distinct frame.  The sketch
+    is byte-identical to one built over the raw multiset — HLL insertion is
+    idempotent (register scatter-max), which is exactly what licenses the
+    rewrite."""
+    from python_hll_spark.operators.ndv import hll_ndv_column
     from python_hll_spark.sketches.hll import HLLConfig
 
     docs = _read(spark, sf_dir, "documents")
     cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
-    hashed = docs.select(
+    # map-side partial distinct collapses 30 words/doc to the vocab before
+    # the exchange; 64-bit word hashes shuffle instead of strings
+    vocab = (docs.select(
         "source",
-        F.transform(_norm_words(F.col("text")),
-                    lambda w: F.xxhash64(w)).alias("tokens"))
-    est = hll_ndv_tokens(hashed, by=["source"], cfg=cfg).select("source", "ndv")
-    exact = (docs.select("source",
-                         F.explode(_norm_words(F.col("text"))).alias("w"))
-             .groupBy("source").agg(F.countDistinct("w").alias("exact_ndv")))
+        F.explode(F.transform(_norm_words(F.col("text")),
+                              lambda w: F.xxhash64(w))).alias("h"))
+        .distinct().persist())
+    est = hll_ndv_column(vocab, "h", by=["source"], cfg=cfg) \
+        .select("source", "ndv")
+    exact = vocab.groupBy("source").agg(F.count("*").alias("exact_ndv"))
     tol = HLL_TOL * cfg.error_bound
     return (exact.join(est, "source")
             .select("source", "exact_ndv",
