@@ -1034,9 +1034,16 @@ def q_media_features(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").limit(50)
     media = docs.select(F.col("doc_id").cast("string").alias("media_id"),
                         F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"))
+    from python_hll_spark.operators.multimodal import extract_audio_features
+
     feats = extract_image_features(media)
-    return feats.select("media_id",
-                        F.round(F.element_at("features", 1) * 1e6).cast("long").alias("f1_micro"))
+    audio = extract_audio_features(media)
+    return (feats.join(audio, "media_id")
+            .select("media_id",
+                    F.round(F.element_at("features", 1) * 1e6)
+                    .cast("long").alias("f1_micro"),
+                    F.round(F.element_at("rms", 1)).cast("long")
+                    .alias("rms1")))
 
 
 # --------------------------------------------------------------------------

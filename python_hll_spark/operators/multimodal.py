@@ -80,6 +80,46 @@ def resize_images(df: DataFrame, target=(4, 4), payload_col: str = "payload",
             .mapInPandas(resize, schema=f"`{id_col}` {id_type}, pixels array<int>"))
 
 
+def deterministic_fake_pcm(payload: bytes, n_samples: int = 4096) -> np.ndarray:
+    """Reproducible stand-in audio decoder: int16 PCM seeded by payload."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    rng = np.random.default_rng(seed ^ 0xA0D10)
+    return rng.integers(-2 ** 15, 2 ** 15, size=n_samples).astype(np.int16)
+
+
+def extract_audio_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "media_id", decode=None,
+                           frame: int = 512) -> DataFrame:
+    """(id, rms array<double>, zcr array<double>): per-frame root-mean-square
+    energy and zero-crossing rate over decoded PCM — the audio leg of the
+    multimodal plumbing.  Decode is the stubbed piece (``decode=`` takes a
+    real libav/soundfile callable in production); framing and the
+    vectorized per-window reductions are real."""
+    decode = decode or deterministic_fake_pcm
+
+    def extract(batches):
+        for pdf in batches:
+            rms_out, zcr_out = [], []
+            for payload in pdf[payload_col]:
+                pcm = decode(bytes(payload)).astype(np.float64)
+                n = (len(pcm) // frame) * frame
+                if n == 0:
+                    rms_out.append(np.zeros(0))
+                    zcr_out.append(np.zeros(0))
+                    continue
+                mat = pcm[:n].reshape(-1, frame)
+                rms_out.append(np.sqrt((mat ** 2).mean(axis=1)))
+                zcr_out.append(
+                    (np.diff(np.signbit(mat), axis=1) != 0).mean(axis=1))
+            yield pd.DataFrame({id_col: pdf[id_col], "rms": rms_out,
+                                "zcr": zcr_out})
+
+    id_type = dict(df.dtypes)[id_col]
+    return (df.select(id_col, payload_col)
+            .mapInPandas(extract, schema=f"`{id_col}` {id_type}, "
+                                         "rms array<double>, zcr array<double>"))
+
+
 def sample_frames(df: DataFrame, every_ms: int = 1000, payload_col: str = "payload",
                   id_col: str = "media_id", duration_col: str = "duration_ms") -> DataFrame:
     """(id, frame_ts array<int>): frame-sampling timestamps from metadata

@@ -168,6 +168,18 @@ def test_multimodal_plumbing(spark):
     fr = sample_frames(media, every_ms=1000).collect()
     assert all(len(r["frame_ts"]) == 5 for r in fr)
 
+    from python_hll_spark.operators.multimodal import extract_audio_features
+    au = extract_audio_features(media, frame=512).collect()
+    assert len(au) == 10
+    for r in au:
+        assert len(r["rms"]) == 4096 // 512
+        assert all(v >= 0 for v in r["rms"])
+        assert all(0.0 <= v <= 1.0 for v in r["zcr"])
+    au2 = {r["media_id"]: r["rms"] for r in
+           extract_audio_features(media, frame=512).collect()}
+    for r in au:
+        assert au2[r["media_id"]] == r["rms"]   # deterministic
+
 
 def test_connected_components(spark):
     from python_hll_spark.operators.dedup import connected_components
