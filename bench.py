@@ -158,7 +158,11 @@ def _near_dedup_worker(n_cores: int, n_docs: int) -> dict:
         (spark.read.parquet(SEQS_CACHE)
          .where(F.col("doc_id") < f"doc-{n_docs:012d}")
          .repartition(64).write.mode("overwrite").parquet(subset))
-    df = spark.read.parquet(subset)
+    # int64 ids for the dedup pipeline (what a real corpus pipeline keys
+    # on): string "doc-%012d" ids would otherwise ride every banded row
+    # through the self-join exchanges and force sort-based min() aggs
+    df = spark.read.parquet(subset).withColumn(
+        "doc_id", F.substring("doc_id", 5, 12).cast("long"))
     stats = df.agg(F.sum("n_tok"), F.count("*")).collect()[0]
     n_tokens, n_rows = int(stats[0]), int(stats[1])
 

@@ -369,10 +369,14 @@ def _band_keys_frame(sig_df: DataFrame, bands: int,
 
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
                         id_col: str = "doc_id",
-                        max_bucket: int = 512) -> DataFrame:
+                        max_bucket: int = 512,
+                        persist_bands: bool = True) -> DataFrame:
     """Band the signatures and self-join buckets -> (id_a, id_b, est_jaccard).
 
     est_jaccard = fraction of matching signature positions.
+
+    NOTE: calling this runs ONE eager job (the bounded oversize-bucket key
+    scan, collected driver-side) before returning the lazy pair frame.
 
     Scale hardening (the two ways banded LSH melts down at 100 TB):
     - docs with zero shingles keep the int64-max sentinel in every
@@ -388,24 +392,47 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
     """
 
     banded = _band_keys_frame(sig_df, bands, id_col)
+    cached_bands = None
+    if persist_bands:
+        # the banded frame feeds THREE consumers (sizes agg, the small
+        # self-join, the star branch); persisting it runs the banding
+        # kernel once instead of three times.  The cache handle rides on
+        # the returned DataFrame (``_cached_bands``) so pipeline drivers
+        # (near_dedup/near_dedup_tokens) can release it once the edge
+        # list is materialized.
+        cached_bands = banded.persist()
+        banded = cached_bands
 
     # Oversize buckets are BOUNDED in number: at most rows/max_bucket =
-    # bands*N/max_bucket of them, each one row here — KBs in any realistic
-    # corpus (they are hash-collision floods / exact-dup clusters).  So the
-    # size tagging broadcasts just the oversize bucket keys instead of
-    # joining a 1-row-per-bucket frame back onto EVERY banded row: the old
-    # shape put the (groupBy + wide join) sub-DAG under THREE consumers
-    # (self-join a/b + star branch) and executed it three times — 3.5x the
-    # wall of this plan at 2M docs.  At extreme dup density raise
-    # max_bucket to keep the broadcast side small.
-    sizes = (banded.groupBy("band", "band_key")
-             .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
-    big = sizes.where(F.col("__bsz") > max_bucket) \
-        .select("band", "band_key", "__rep")
-    bbig = F.broadcast(big)
-    # the SAME broadcast frame feeds both branches so the sizes
-    # aggregation runs once (identical exchanges get ReusedExchange)
-    small = banded.join(bbig, ["band", "band_key"], "left_anti")
+    # bands*N/max_bucket of them — KBs in any realistic corpus (they are
+    # hash-collision floods / exact-dup clusters).  The size scan therefore
+    # COLLECTS the oversize keys (one eager job at call time; this also
+    # materializes the banding cache for the downstream consumers) instead
+    # of leaving the groupBy as a lazy sub-DAG: under laziness each of the
+    # three consumers (self-join a/b sides + star branch) re-planned its
+    # own copy of the aggregation and its broadcast — three identical
+    # shuffles at 2M docs.  At extreme dup density raise max_bucket to
+    # keep the collected side small.
+    big_rows = (banded.groupBy("band", "band_key")
+                .agg(F.count("*").alias("__bsz"),
+                     F.min(id_col).alias("__rep"))
+                .where(F.col("__bsz") > max_bucket)
+                .select("band", "band_key", "__rep").collect())
+    if big_rows:
+        big = sig_df.sparkSession.createDataFrame(
+            big_rows, schema=banded.select("band", "band_key").schema
+            .add("__rep", sig_df.schema[id_col].dataType))
+        bbig = F.broadcast(big)
+        small = banded.join(bbig.select("band", "band_key"),
+                            ["band", "band_key"], "left_anti")
+        pairs_large = (banded.join(bbig, ["band", "band_key"])
+                       .where(F.col(id_col) != F.col("__rep"))
+                       .select(F.col("__rep").alias("id_a"),
+                               F.col(id_col).alias("id_b")))
+    else:
+        # no oversize buckets (the overwhelmingly common case): the plan
+        # collapses to the bare self-join, no anti-join, no star branch
+        small, pairs_large = banded, None
     # shuffle-hash beats sort-merge here: both sides are the same large
     # narrow frame, keys are near-unique, and the bucket cap already
     # bounds per-partition skew — no reason to sort 2x banded rows
@@ -414,19 +441,19 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
                    .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                    .select(F.col(f"a.{id_col}").alias("id_a"),
                            F.col(f"b.{id_col}").alias("id_b")))
-    pairs_large = (banded.join(bbig, ["band", "band_key"])
-                   .where(F.col(id_col) != F.col("__rep"))
-                   .select(F.col("__rep").alias("id_a"),
-                           F.col(id_col).alias("id_b")))
-    pairs = pairs_small.unionByName(pairs_large).distinct()
+    pairs = pairs_small if pairs_large is None \
+        else pairs_small.unionByName(pairs_large)
+    pairs = pairs.distinct()
 
     sig_a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     match_frac = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                                   lambda v: v)) / F.size("sig_a"))
-    return joined.select("id_a", "id_b",
-                         F.round(match_frac, 6).alias("est_jaccard"))
+    out = joined.select("id_a", "id_b",
+                        F.round(match_frac, 6).alias("est_jaccard"))
+    out._cached_bands = cached_bands
+    return out
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
@@ -443,8 +470,10 @@ def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
     ``near_dedup`` does, and unpersists once components are resolved."""
     if sigs is None:
         sigs = minhash_signatures(df, text_col, n, num_hashes, id_col).persist()
-    return (lsh_candidate_pairs(sigs, bands, id_col, max_bucket=max_bucket)
-            .where(F.col("est_jaccard") >= threshold))
+    cand = lsh_candidate_pairs(sigs, bands, id_col, max_bucket=max_bucket)
+    out = cand.where(F.col("est_jaccard") >= threshold)
+    out._cached_bands = getattr(cand, "_cached_bands", None)
+    return out
 
 
 # ---------------------------------------------------------------- SimHash
@@ -738,12 +767,15 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Returns the deduplicated rows of ``df`` (all original columns)."""
     sigs = minhash_signatures(df, text_col, n, num_hashes, id_col).persist()
-    pairs = minhash_dedup_pairs(df, text_col, n, num_hashes, bands, threshold,
-                                id_col, sigs=sigs).select("id_a", "id_b")
+    cand = minhash_dedup_pairs(df, text_col, n, num_hashes, bands, threshold,
+                               id_col, sigs=sigs)
+    pairs = cand.select("id_a", "id_b")
     # connected_components materializes the edge list eagerly (checkpoint +
-    # per-iteration action), so the signature cache can be released here
+    # per-iteration action), so the signature/banding caches can go here
     comps = connected_components(pairs)
     sigs.unpersist()
+    if getattr(cand, "_cached_bands", None) is not None:
+        cand._cached_bands.unpersist()
     keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
     drop_ids = (comps.join(keep, "component")
                 .where(F.col("id") != F.col("keep_id"))
@@ -766,13 +798,15 @@ def near_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
     Returns the deduplicated rows of ``df`` (all original columns)."""
     sigs = minhash_signatures_tokens(df, tokens_col, n, num_hashes,
                                      id_col).persist()
-    pairs = (lsh_candidate_pairs(sigs, bands, id_col)
-             .where(F.col("est_jaccard") >= threshold)
+    cand = lsh_candidate_pairs(sigs, bands, id_col)
+    pairs = (cand.where(F.col("est_jaccard") >= threshold)
              .select("id_a", "id_b"))
     # connected_components materializes the edge list eagerly (checkpoint +
-    # per-iteration action), so the signature cache can be released after
+    # per-iteration action), so the signature/banding caches can go here
     comps = connected_components(pairs)
     sigs.unpersist()
+    if getattr(cand, "_cached_bands", None) is not None:
+        cand._cached_bands.unpersist()
     keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
     drop_ids = (comps.join(keep, "component")
                 .where(F.col("id") != F.col("keep_id"))
