@@ -583,25 +583,37 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
                      .bitwiseAND(F.lit(0xFFFF)).alias("ckey"))
             for i in range(4)])).alias("c")
     ).select(id_col, "c.chunk", "c.ckey")
-    # same broadcast-the-oversize-keys shape as lsh_candidate_pairs: the
-    # oversize set is bounded by 4*N/max_bucket rows, so it broadcasts
-    # instead of joining sizes back onto every chunk row three times
-    sizes = (chunks.groupBy("chunk", "ckey")
-             .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
-    big = sizes.where(F.col("__bsz") > max_bucket) \
-        .select("chunk", "ckey", "__rep")
-    bbig = F.broadcast(big)
-    small = chunks.join(bbig, ["chunk", "ckey"], "left_anti")
+    # same collected-oversize-keys shape as lsh_candidate_pairs: the
+    # oversize set is bounded by 4*N/max_bucket rows, so ONE eager size
+    # scan collects it (under laziness each of the three consumers
+    # re-planned its own copy of the aggregation + broadcast), and with no
+    # oversize buckets the plan is the bare self-join
+    big_rows = (chunks.groupBy("chunk", "ckey")
+                .agg(F.count("*").alias("__bsz"),
+                     F.min(id_col).alias("__rep"))
+                .where(F.col("__bsz") > max_bucket)
+                .select("chunk", "ckey", "__rep").collect())
+    if big_rows:
+        big = sigs.sparkSession.createDataFrame(
+            big_rows, schema=chunks.select("chunk", "ckey").schema
+            .add("__rep", sigs.schema[id_col].dataType))
+        bbig = F.broadcast(big)
+        small = chunks.join(bbig.select("chunk", "ckey"),
+                            ["chunk", "ckey"], "left_anti")
+        pairs_large = (chunks.join(bbig, ["chunk", "ckey"])
+                       .where(F.col(id_col) != F.col("__rep"))
+                       .select(F.col("__rep").alias("id_a"),
+                               F.col(id_col).alias("id_b")))
+    else:
+        small, pairs_large = chunks, None
     a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
     pairs_small = (a.join(b, on=["chunk", "ckey"])
                    .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
                    .select(F.col(f"a.{id_col}").alias("id_a"),
                            F.col(f"b.{id_col}").alias("id_b")))
-    pairs_large = (chunks.join(bbig, ["chunk", "ckey"])
-                   .where(F.col(id_col) != F.col("__rep"))
-                   .select(F.col("__rep").alias("id_a"),
-                           F.col(id_col).alias("id_b")))
-    pairs = pairs_small.unionByName(pairs_large).distinct()
+    pairs = pairs_small if pairs_large is None \
+        else pairs_small.unionByName(pairs_large)
+    pairs = pairs.distinct()
     sh_a = sigs.select(F.col(id_col).alias("id_a"),
                        F.col("simhash").alias("sh_a"))
     sh_b = sigs.select(F.col(id_col).alias("id_b"),
