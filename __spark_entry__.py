@@ -1219,7 +1219,8 @@ def oracle_sql() -> dict[str, str]:
                 JOIN rep r ON n.doc_id = r.doc_id
                 WHERE NOT EXISTS (SELECT 1 FROM existing e WHERE e.norm = n.norm)
             )
-            SELECT source, count(*) AS n_new_unique, sum(doc_id) AS id_sum
+            SELECT source, count(*)::BIGINT AS n_new_unique,
+                   sum(doc_id)::BIGINT AS id_sum
             FROM kept GROUP BY source ORDER BY source
         """,
         "text_stats_documents": """

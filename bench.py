@@ -179,7 +179,8 @@ def _near_dedup_worker(n_cores: int, n_docs: int) -> dict:
         sigs = minhash_signatures_tokens(df, num_hashes=64).persist()
         sigs.count()
         t1 = time.time()
-        cand = lsh_candidate_pairs(sigs, bands=16)
+        caches = []
+        cand = lsh_candidate_pairs(sigs, bands=16, cache_out=caches)
         pairs = (cand.where(F.col("est_jaccard") >= 0.8)
                  .select("id_a", "id_b"))
         comps = connected_components(pairs)
@@ -190,8 +191,8 @@ def _near_dedup_worker(n_cores: int, n_docs: int) -> dict:
         n_out = df.join(drop_ids, on="doc_id", how="left_anti").count()
         t2 = time.time()
         sigs.unpersist()
-        if getattr(cand, "_cached_bands", None) is not None:
-            cand._cached_bands.unpersist()
+        for c in caches:
+            c.unpersist()
         rep = {"wall_sec": round(t2 - t0, 2),
                "signatures_sec": round(t1 - t0, 2),
                "lsh_cc_keep_sec": round(t2 - t1, 2)}

@@ -220,8 +220,11 @@ def murmur3_hash_frame(df, by: list[str], value_col: str,
     out, preserving countDistinct semantics)."""
     import pyarrow as pa
 
-    fields = ", ".join(f"`{f.name}` {f.dataType.simpleString()}"
-                       for f in df.schema.fields if f.name in by)
+    # iterate `by` (not df.schema) so the declared field order always
+    # matches the emitted column order even when the caller passes `by`
+    # out of frame-column order
+    fields = ", ".join(
+        f"`{c}` {df.schema[c].dataType.simpleString()}" for c in by)
     schema = (fields + ", " if fields else "") + f"`{out}` bigint"
 
     def gen(batches):

@@ -265,7 +265,7 @@ def minhash_signatures_tokens(df: DataFrame, tokens_col: str = "tokens",
                 acc_full = splitmix64(flat).view(np.uint64).copy()
                 for j in range(1, n):
                     Hj = splitmix64(flat, seed=j).view(np.uint64)
-                    acc_full[:L - j] ^= Hj[j:]
+                    acc_full[:max(L - j, 0)] ^= Hj[j:]
                     acc_full *= GOLD
                 # valid long-doc window starts: every flat position except
                 # each doc's last n-1 (marking also fully invalidates docs
@@ -367,16 +367,90 @@ def _band_keys_frame(sig_df: DataFrame, bands: int,
         band_rows, schema=f"`{id_col}` {id_type}, band int, band_key bigint")
 
 
+#: driver-safety cap on the oversize-bucket key collect: above this many
+#: oversize keys the plan falls back to an executor-side persisted frame
+#: (lazy joins) instead of materializing the set on the driver.
+_MAX_OVERSIZE_COLLECT = 65536
+
+
+def _capped_bucket_pairs(rows: DataFrame, bucket_cols: list, id_col: str,
+                         id_type, max_bucket: int,
+                         max_oversize_keys: int = _MAX_OVERSIZE_COLLECT):
+    """Self-join ``rows`` within each bucket (``bucket_cols``) into
+    candidate (id_a, id_b) pairs, degrading buckets larger than
+    ``max_bucket`` to a star against the bucket's min id — O(B) edges
+    instead of O(B^2), connectivity preserved.  Shared by MinHash-LSH band
+    buckets, SimHash chunk buckets, and SRP embedding buckets.
+
+    Returns ``(pairs, oversize_cache)``.  Driver safety: the oversize-key
+    set is bounded by rows/max_bucket, which is KBs in any realistic
+    corpus but corpus-proportional under adversarial dup density — so the
+    eager scan collects at most ``max_oversize_keys + 1`` rows
+    (``limit()``-bounded job).  Within the cap the keys broadcast from the
+    driver (one job, no re-planned aggregation per consumer); beyond it
+    they stay executor-side as a persisted frame joined lazily (AQE may
+    still broadcast at runtime if the built relation turns out small) and
+    the persist handle is returned as ``oversize_cache`` for the caller to
+    release — ``None`` on the collect path."""
+    big_agg = (rows.groupBy(*bucket_cols)
+               .agg(F.count("*").alias("__bsz"),
+                    F.min(id_col).alias("__rep"))
+               .where(F.col("__bsz") > max_bucket)
+               .select(*bucket_cols, "__rep"))
+    big_rows = big_agg.limit(max_oversize_keys + 1).collect()
+    oversize_cache = None
+    if len(big_rows) > max_oversize_keys:
+        big_rows = None
+        oversize_cache = big_agg.persist()
+        bbig = oversize_cache
+    elif big_rows:
+        big = rows.sparkSession.createDataFrame(
+            big_rows, schema=rows.select(*bucket_cols).schema
+            .add("__rep", id_type))
+        bbig = F.broadcast(big)
+    else:
+        # no oversize buckets (the overwhelmingly common case): the plan
+        # collapses to the bare self-join, no anti-join, no star branch
+        bbig = None
+    if bbig is not None:
+        small = rows.join(bbig.select(*bucket_cols), bucket_cols, "left_anti")
+        pairs_large = (rows.join(bbig, bucket_cols)
+                       .where(F.col(id_col) != F.col("__rep"))
+                       .select(F.col("__rep").alias("id_a"),
+                               F.col(id_col).alias("id_b")))
+    else:
+        small, pairs_large = rows, None
+    # shuffle-hash beats sort-merge here: both sides are the same large
+    # narrow frame, keys are near-unique, and the bucket cap already
+    # bounds per-partition skew — no reason to sort 2x the rows
+    a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
+    pairs_small = (a.join(b, on=bucket_cols)
+                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+                   .select(F.col(f"a.{id_col}").alias("id_a"),
+                           F.col(f"b.{id_col}").alias("id_b")))
+    pairs = pairs_small if pairs_large is None \
+        else pairs_small.unionByName(pairs_large)
+    return pairs.distinct(), oversize_cache
+
+
 def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
                         id_col: str = "doc_id",
                         max_bucket: int = 512,
-                        persist_bands: bool = True) -> DataFrame:
+                        persist_bands: bool = True,
+                        cache_out: list | None = None,
+                        max_oversize_keys: int = _MAX_OVERSIZE_COLLECT
+                        ) -> DataFrame:
     """Band the signatures and self-join buckets -> (id_a, id_b, est_jaccard).
 
     est_jaccard = fraction of matching signature positions.
 
     NOTE: calling this runs ONE eager job (the bounded oversize-bucket key
-    scan, collected driver-side) before returning the lazy pair frame.
+    scan, ``limit(max_oversize_keys + 1)``) before returning the lazy pair
+    frame.  Persisted frames created here (the banding cache; the
+    oversize-key frame on the adversarial fallback path) are appended to
+    ``cache_out`` when given — pipeline drivers pass a list and unpersist
+    its entries once the edge list is materialized.  Without ``cache_out``
+    the caches live until the session releases them.
 
     Scale hardening (the two ways banded LSH melts down at 100 TB):
     - docs with zero shingles keep the int64-max sentinel in every
@@ -392,88 +466,58 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
     """
 
     banded = _band_keys_frame(sig_df, bands, id_col)
-    cached_bands = None
     if persist_bands:
         # the banded frame feeds THREE consumers (sizes agg, the small
         # self-join, the star branch); persisting it runs the banding
-        # kernel once instead of three times.  The cache handle rides on
-        # the returned DataFrame (``_cached_bands``) so pipeline drivers
-        # (near_dedup/near_dedup_tokens) can release it once the edge
-        # list is materialized.
-        cached_bands = banded.persist()
-        banded = cached_bands
+        # kernel once instead of three times
+        banded = banded.persist()
+        if cache_out is not None:
+            cache_out.append(banded)
 
     # Oversize buckets are BOUNDED in number: at most rows/max_bucket =
-    # bands*N/max_bucket of them — KBs in any realistic corpus (they are
-    # hash-collision floods / exact-dup clusters).  The size scan therefore
-    # COLLECTS the oversize keys (one eager job at call time; this also
-    # materializes the banding cache for the downstream consumers) instead
-    # of leaving the groupBy as a lazy sub-DAG: under laziness each of the
-    # three consumers (self-join a/b sides + star branch) re-planned its
-    # own copy of the aggregation and its broadcast — three identical
-    # shuffles at 2M docs.  At extreme dup density raise max_bucket to
-    # keep the collected side small.
-    big_rows = (banded.groupBy("band", "band_key")
-                .agg(F.count("*").alias("__bsz"),
-                     F.min(id_col).alias("__rep"))
-                .where(F.col("__bsz") > max_bucket)
-                .select("band", "band_key", "__rep").collect())
-    if big_rows:
-        big = sig_df.sparkSession.createDataFrame(
-            big_rows, schema=banded.select("band", "band_key").schema
-            .add("__rep", sig_df.schema[id_col].dataType))
-        bbig = F.broadcast(big)
-        small = banded.join(bbig.select("band", "band_key"),
-                            ["band", "band_key"], "left_anti")
-        pairs_large = (banded.join(bbig, ["band", "band_key"])
-                       .where(F.col(id_col) != F.col("__rep"))
-                       .select(F.col("__rep").alias("id_a"),
-                               F.col(id_col).alias("id_b")))
-    else:
-        # no oversize buckets (the overwhelmingly common case): the plan
-        # collapses to the bare self-join, no anti-join, no star branch
-        small, pairs_large = banded, None
-    # shuffle-hash beats sort-merge here: both sides are the same large
-    # narrow frame, keys are near-unique, and the bucket cap already
-    # bounds per-partition skew — no reason to sort 2x banded rows
-    a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
-    pairs_small = (a.join(b, on=["band", "band_key"])
-                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                   .select(F.col(f"a.{id_col}").alias("id_a"),
-                           F.col(f"b.{id_col}").alias("id_b")))
-    pairs = pairs_small if pairs_large is None \
-        else pairs_small.unionByName(pairs_large)
-    pairs = pairs.distinct()
+    # bands*N/max_bucket of them.  The eager size scan (which also
+    # materializes the banding cache for the downstream consumers)
+    # replaces the lazy sub-DAG that each of the three consumers would
+    # otherwise re-plan — three identical shuffles at 2M docs.
+    pairs, oversize_cache = _capped_bucket_pairs(
+        banded, ["band", "band_key"], id_col,
+        sig_df.schema[id_col].dataType, max_bucket, max_oversize_keys)
+    if oversize_cache is not None and cache_out is not None:
+        cache_out.append(oversize_cache)
 
     sig_a = sig_df.select(F.col(id_col).alias("id_a"), F.col("sig").alias("sig_a"))
     sig_b = sig_df.select(F.col(id_col).alias("id_b"), F.col("sig").alias("sig_b"))
     joined = pairs.join(sig_a, "id_a").join(sig_b, "id_b")
     match_frac = (F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
                                   lambda v: v)) / F.size("sig_a"))
-    out = joined.select("id_a", "id_b",
-                        F.round(match_frac, 6).alias("est_jaccard"))
-    out._cached_bands = cached_bands
-    return out
+    return joined.select("id_a", "id_b",
+                         F.round(match_frac, 6).alias("est_jaccard"))
 
 
 def minhash_dedup_pairs(df: DataFrame, text_col: str = "text", n: int = 3,
                         num_hashes: int = 128, bands: int = 32,
                         threshold: float = 0.8, id_col: str = "doc_id",
                         sigs: DataFrame | None = None,
-                        max_bucket: int = 512) -> DataFrame:
+                        max_bucket: int = 512,
+                        cache_out: list | None = None) -> DataFrame:
     """Near-dup candidate pairs above ``threshold`` estimated Jaccard.
+
+    NOTE: runs one eager bounded job (the oversize-bucket key scan in
+    ``lsh_candidate_pairs``) before returning the lazy pair frame.
 
     Signatures are read 3x downstream (banding + both join sides) and are
     tiny (n_docs x num_hashes int64), so they're persisted rather than
     recomputing the shingle+minhash pipeline per consumer.  Pass ``sigs``
     (a persisted ``minhash_signatures`` frame) to own the cache lifecycle —
-    ``near_dedup`` does, and unpersists once components are resolved."""
+    ``near_dedup`` does, and unpersists once components are resolved.
+    Internal persisted frames are appended to ``cache_out`` when given."""
     if sigs is None:
         sigs = minhash_signatures(df, text_col, n, num_hashes, id_col).persist()
-    cand = lsh_candidate_pairs(sigs, bands, id_col, max_bucket=max_bucket)
-    out = cand.where(F.col("est_jaccard") >= threshold)
-    out._cached_bands = getattr(cand, "_cached_bands", None)
-    return out
+        if cache_out is not None:
+            cache_out.append(sigs)
+    cand = lsh_candidate_pairs(sigs, bands, id_col, max_bucket=max_bucket,
+                               cache_out=cache_out)
+    return cand.where(F.col("est_jaccard") >= threshold)
 
 
 # ---------------------------------------------------------------- SimHash
@@ -556,7 +600,10 @@ def simhash_signatures(df: DataFrame, text_col: str = "text",
 def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int = 3,
                        id_col: str = "doc_id",
                        sigs: DataFrame | None = None,
-                       max_bucket: int = 512) -> DataFrame:
+                       max_bucket: int = 512,
+                       cache_out: list | None = None,
+                       max_oversize_keys: int = _MAX_OVERSIZE_COLLECT
+                       ) -> DataFrame:
     """Near-dup pairs by SimHash hamming distance, bucketed on 16-bit chunks
     (two of four chunks must match exactly when distance <= 3).
 
@@ -572,9 +619,12 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
     would drop them.
 
     Pass a persisted ``sigs`` frame to own the cache lifecycle (the default
-    cache lives until the session drops it)."""
+    cache lives until the session drops it); internal persisted frames are
+    appended to ``cache_out`` when given."""
     if sigs is None:
         sigs = simhash_signatures(df, text_col, id_col).cache()
+        if cache_out is not None:
+            cache_out.append(sigs)
     chunks = sigs.select(
         id_col,
         F.explode(F.array(*[
@@ -583,37 +633,14 @@ def simhash_near_pairs(df: DataFrame, text_col: str = "text", max_hamming: int =
                      .bitwiseAND(F.lit(0xFFFF)).alias("ckey"))
             for i in range(4)])).alias("c")
     ).select(id_col, "c.chunk", "c.ckey")
-    # same collected-oversize-keys shape as lsh_candidate_pairs: the
-    # oversize set is bounded by 4*N/max_bucket rows, so ONE eager size
-    # scan collects it (under laziness each of the three consumers
-    # re-planned its own copy of the aggregation + broadcast), and with no
-    # oversize buckets the plan is the bare self-join
-    big_rows = (chunks.groupBy("chunk", "ckey")
-                .agg(F.count("*").alias("__bsz"),
-                     F.min(id_col).alias("__rep"))
-                .where(F.col("__bsz") > max_bucket)
-                .select("chunk", "ckey", "__rep").collect())
-    if big_rows:
-        big = sigs.sparkSession.createDataFrame(
-            big_rows, schema=chunks.select("chunk", "ckey").schema
-            .add("__rep", sigs.schema[id_col].dataType))
-        bbig = F.broadcast(big)
-        small = chunks.join(bbig.select("chunk", "ckey"),
-                            ["chunk", "ckey"], "left_anti")
-        pairs_large = (chunks.join(bbig, ["chunk", "ckey"])
-                       .where(F.col(id_col) != F.col("__rep"))
-                       .select(F.col("__rep").alias("id_a"),
-                               F.col(id_col).alias("id_b")))
-    else:
-        small, pairs_large = chunks, None
-    a, b = small.alias("a"), small.hint("shuffle_hash").alias("b")
-    pairs_small = (a.join(b, on=["chunk", "ckey"])
-                   .where(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-                   .select(F.col(f"a.{id_col}").alias("id_a"),
-                           F.col(f"b.{id_col}").alias("id_b")))
-    pairs = pairs_small if pairs_large is None \
-        else pairs_small.unionByName(pairs_large)
-    pairs = pairs.distinct()
+    # same capped-bucket shape as lsh_candidate_pairs: the oversize set is
+    # bounded by 4*N/max_bucket rows, ONE eager bounded size scan, and
+    # with no oversize buckets the plan is the bare self-join
+    pairs, oversize_cache = _capped_bucket_pairs(
+        chunks, ["chunk", "ckey"], id_col, sigs.schema[id_col].dataType,
+        max_bucket, max_oversize_keys)
+    if oversize_cache is not None and cache_out is not None:
+        cache_out.append(oversize_cache)
     sh_a = sigs.select(F.col(id_col).alias("id_a"),
                        F.col("simhash").alias("sh_a"))
     sh_b = sigs.select(F.col(id_col).alias("id_b"),
@@ -779,15 +806,15 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
 
     Returns the deduplicated rows of ``df`` (all original columns)."""
     sigs = minhash_signatures(df, text_col, n, num_hashes, id_col).persist()
+    caches = [sigs]
     cand = minhash_dedup_pairs(df, text_col, n, num_hashes, bands, threshold,
-                               id_col, sigs=sigs)
+                               id_col, sigs=sigs, cache_out=caches)
     pairs = cand.select("id_a", "id_b")
     # connected_components materializes the edge list eagerly (checkpoint +
     # per-iteration action), so the signature/banding caches can go here
     comps = connected_components(pairs)
-    sigs.unpersist()
-    if getattr(cand, "_cached_bands", None) is not None:
-        cand._cached_bands.unpersist()
+    for c in caches:
+        c.unpersist()
     keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
     drop_ids = (comps.join(keep, "component")
                 .where(F.col("id") != F.col("keep_id"))
@@ -810,15 +837,15 @@ def near_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
     Returns the deduplicated rows of ``df`` (all original columns)."""
     sigs = minhash_signatures_tokens(df, tokens_col, n, num_hashes,
                                      id_col).persist()
-    cand = lsh_candidate_pairs(sigs, bands, id_col)
+    caches = [sigs]
+    cand = lsh_candidate_pairs(sigs, bands, id_col, cache_out=caches)
     pairs = (cand.where(F.col("est_jaccard") >= threshold)
              .select("id_a", "id_b"))
     # connected_components materializes the edge list eagerly (checkpoint +
     # per-iteration action), so the signature/banding caches can go here
     comps = connected_components(pairs)
-    sigs.unpersist()
-    if getattr(cand, "_cached_bands", None) is not None:
-        cand._cached_bands.unpersist()
+    for c in caches:
+        c.unpersist()
     keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
     drop_ids = (comps.join(keep, "component")
                 .where(F.col("id") != F.col("keep_id"))

@@ -123,6 +123,12 @@ def stateful_topk_stream(stream_df: DataFrame, group_col: str, key_col: str,
     hashes ride along in the state so estimates never re-hash in Python.
     Emits the current (group, key, est_count, n_rows) top-k per update,
     ranked by CMS estimate with deterministic key tie-break.
+
+    State-schema v2 (adds the ``floor bigint`` slot for SpaceSaving
+    admission): checkpoints written by the pre-floor build are NOT
+    compatible — Spark's state-store schema check rejects them, and the
+    5-tuple ``state.get`` unpacking would break even if it loaded.
+    Restart such a query from a fresh checkpoint location.
     """
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout

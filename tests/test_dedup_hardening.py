@@ -321,3 +321,60 @@ def test_prepare_corpus_optional_stages_single_pass(spark):
     clean.count()
     assert acc.value == scans_after_pipeline
     clean.unpersist()
+
+
+# ------------------------------------- round-4: driver-safe oversize scan
+def test_oversize_collect_fallback_equivalence(spark):
+    """When the oversize-key set exceeds max_oversize_keys the plan must
+    NOT materialize it on the driver: it falls back to an executor-side
+    persisted frame joined lazily.  Both paths must emit the identical
+    pair set, and the fallback's persist handle must surface through
+    cache_out for the caller to release."""
+    from python_hll_spark.operators.dedup import (lsh_candidate_pairs,
+                                                  minhash_signatures)
+
+    # 30 distinct duplicate clusters x 12 docs: every cluster floods its
+    # own band buckets past max_bucket=4 -> bands*30 oversize keys.
+    rows = []
+    for c in range(30):
+        text = (f"cluster {c} body token{c * 7} filler words repeated "
+                f"enough to produce shingles for group {c} ") * 3
+        rows += [(c * 100 + i, text) for i in range(12)]
+    sigs = minhash_signatures(_docs(spark, rows), num_hashes=32, n=3).persist()
+
+    def pair_set(max_keys, caches):
+        p = lsh_candidate_pairs(sigs, bands=8, max_bucket=4,
+                                cache_out=caches, max_oversize_keys=max_keys)
+        return {(r["id_a"], r["id_b"]) for r in
+                p.select("id_a", "id_b").collect()}
+
+    collect_caches, fallback_caches = [], []
+    via_collect = pair_set(10 ** 6, collect_caches)
+    via_fallback = pair_set(5, fallback_caches)
+    assert via_collect == via_fallback
+    assert via_collect  # the flood actually produced edges
+    # fallback persisted one extra frame (the oversize-key agg)
+    assert len(fallback_caches) == len(collect_caches) + 1
+    for c in collect_caches + fallback_caches:
+        c.unpersist()
+    sigs.unpersist()
+
+
+def test_tokens_short_batch_large_shingle_no_crash(spark):
+    """Regression (round-3 ADVICE): a batch whose TOTAL token count L
+    satisfies 2 <= L <= n-2 made the shifted-pass chain's acc_full[:L-j]
+    slice wrap negative and crash in the executor.  One 2-token doc with
+    n=5 is exactly that batch; it must yield the same signature as the
+    clamped single-window semantics (one shingle over all m tokens)."""
+    from python_hll_spark.operators.dedup import minhash_signatures_tokens
+
+    df = spark.createDataFrame([(1, [7, 11])], "doc_id long, tokens array<bigint>")
+    one = minhash_signatures_tokens(df, n=5, num_hashes=16).collect()
+    assert len(one) == 1 and len(one[0]["sig"]) == 16
+    # same doc inside a bigger batch must produce the identical signature
+    big = spark.createDataFrame(
+        [(1, [7, 11]), (2, list(range(100, 140)))],
+        "doc_id long, tokens array<bigint>").coalesce(1)
+    sigs = {r["doc_id"]: tuple(r["sig"]) for r in
+            minhash_signatures_tokens(big, n=5, num_hashes=16).collect()}
+    assert sigs[1] == tuple(one[0]["sig"])
