@@ -328,18 +328,48 @@ def q_ann_topk_embeddings(spark, sf_dir):
     return brute_force_topk(emb, probes, k=5).select("probe_id", "vec_id", "rank")
 
 
-# ---- rows-only (hash-seeded ops a SQL oracle cannot reproduce) ------------
 def q_minhash_dedup_documents(spark, sf_dir):
+    """MinHash-LSH candidate pairs, value-checked by exact-duplicate
+    injection: every doc gets an identical copy at id+1,000,000.
+    Identical text -> identical signature -> every band key shared, so the
+    injected pair MUST surface with est_jaccard exactly 1.0 whenever the
+    doc has at least one word (whitespace-only docs carry the sentinel
+    signature and are dropped at banding).  The per-doc found-boolean is
+    SQL-expressible; cross pairs among originals stay a hash-seeded
+    detail the oracle never sees."""
     from python_hll_spark.operators.dedup import minhash_dedup_pairs
 
-    docs = _read(spark, sf_dir, "documents")
-    return minhash_dedup_pairs(docs, num_hashes=64, bands=16, threshold=0.9)
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    shifted = docs.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    pairs = minhash_dedup_pairs(docs.unionByName(shifted),
+                                num_hashes=64, bands=16, threshold=0.9)
+    inj = (pairs.where((F.col("id_b") == F.col("id_a") + 1000000)
+                       & (F.col("id_a") < 1000000))
+           .select(F.col("id_a").alias("doc_id"),
+                   F.col("est_jaccard").alias("__ej")))
+    return (docs.select("doc_id").join(inj, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("__ej") == 1.0, F.lit(False))
+                    .alias("dup_pair_found")))
 
 
 def q_simhash_documents(spark, sf_dir):
+    """SimHash signatures, value-checked for partition-layout independence:
+    the signature of a doc must be identical whether computed over the
+    natural scan layout or a repartition(7)-shuffled copy (different Arrow
+    batch boundaries exercise the chunked bit-matrix kernel's doc-boundary
+    chunking).  A doc's 64-bit signature is a pure function of its text —
+    any batch-shape dependence is a kernel bug this boolean catches."""
     from python_hll_spark.operators.dedup import simhash_signatures
 
-    return simhash_signatures(_read(spark, sf_dir, "documents"))
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    a = simhash_signatures(docs)
+    b = (simhash_signatures(docs.repartition(7))
+         .withColumnRenamed("simhash", "simhash_b"))
+    return (a.join(b, "doc_id")
+            .select("doc_id",
+                    (F.col("simhash") == F.col("simhash_b"))
+                    .alias("sig_stable")))
 
 
 def q_srp_ann_embeddings(spark, sf_dir):
@@ -818,12 +848,55 @@ def q_hash_split_documents(spark, sf_dir):
 
 def q_near_dedup_documents(spark, sf_dir):
     """Near-duplicate removal end to end (MinHash-LSH -> connected
-    components -> keep representative); hash-seeded, rows-only check."""
+    components -> keep representative), value-checked as the
+    FALSE-POSITIVE side of the dedup contract: a doc may be dropped ONLY
+    if it genuinely resembles another doc — every dropped doc must have
+    exact 3-word-shingle Jaccard >= 0.5 with some other doc (the corpus's
+    embedded near-dup pairs sit at >= 0.88; a 64-hash MinHash estimate of
+    0.9 for a true-0.5 pair is a ~1e-20 tail).  Kept docs pass trivially,
+    so the oracle expects TRUE for every doc.  The TRUE-POSITIVE side
+    (injected duplicates collapse) is pinned by near_dedup_dup_invariant.
+
+    The exact-Jaccard audit joins only the DROPPED docs' shingles
+    (broadcast — a handful of ids) against the corpus, so the check adds
+    one cheap scan, not a quadratic self-join."""
     from python_hll_spark.operators.dedup import near_dedup
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     kept = near_dedup(docs, threshold=0.9, num_hashes=64, bands=16)
-    return kept.select("doc_id")
+    dropped = docs.select("doc_id").exceptAll(kept.select("doc_id"))
+
+    ws = _norm_words(F.col("text"))
+    shingle_idx = F.when(
+        F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
+    ).otherwise(F.array().cast("array<int>"))
+    shingles = _read(spark, sf_dir, "documents").select(
+        "doc_id", ws.alias("__ws"), shingle_idx.alias("__idx")
+    ).select(
+        "doc_id",
+        F.explode(F.array_distinct(F.transform(
+            "__idx",
+            lambda i: F.concat_ws(
+                " ", F.element_at("__ws", i), F.element_at("__ws", i + 1),
+                F.element_at("__ws", i + 2))))).alias("s"))
+    sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    d_sh = (shingles.join(F.broadcast(dropped), "doc_id")
+            .select(F.col("doc_id").alias("id_d"), "s"))
+    inter = (d_sh.join(shingles, "s")
+             .where(F.col("doc_id") != F.col("id_d"))
+             .groupBy("id_d", "doc_id").agg(F.count("*").alias("k")))
+    sz_d = sizes.select(F.col("doc_id").alias("id_d"), F.col("sz").alias("sz_d"))
+    jac = (inter.join(F.broadcast(sz_d), "id_d").join(sizes, "doc_id")
+           .withColumn("j", F.col("k") / (F.col("sz_d") + F.col("sz") - F.col("k")))
+           .groupBy("id_d").agg(F.max("j").alias("max_j")))
+    audited = (dropped.join(jac, dropped.doc_id == jac.id_d, "left")
+               .select(dropped.doc_id,
+                       (F.coalesce(F.col("max_j"), F.lit(0.0)) >= 0.5)
+                       .alias("__near")))
+    return (docs.select("doc_id").join(audited, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("__near"), F.lit(True))
+                    .alias("kept_or_neardup")))
 
 
 def q_incremental_dedup_documents(spark, sf_dir):
@@ -845,12 +918,29 @@ def q_incremental_dedup_documents(spark, sf_dir):
 
 
 def q_winnowing_documents(spark, sf_dir):
-    """Rolling-hash winnowing fingerprints (hash-seeded; rows-only check)."""
+    """Winnowing fingerprints, value-checked: the exact normalized k-gram
+    count (SQL-exact), the fingerprint-count bound vs that count, and
+    partition-layout independence (fingerprints recomputed over a
+    repartition(7)-shuffled copy must be identical — a doc's winnowed set
+    is a pure function of its text).  Complements winnowing_dup_invariant
+    (identical text under a shifted id -> identical fingerprints)."""
     from python_hll_spark.functions.text import winnowing_fingerprints
 
-    docs = _read(spark, sf_dir, "documents")
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     fps = winnowing_fingerprints(docs)
-    return fps.select("doc_id", F.size("fingerprints").alias("n_fingerprints"))
+    fps2 = (winnowing_fingerprints(docs.repartition(7))
+            .withColumnRenamed("fingerprints", "fp_b"))
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    meta = docs.select(
+        "doc_id",
+        F.greatest(F.length(norm) - 7, F.lit(0)).alias("n_kgrams"),
+        F.greatest(F.octet_length(norm) - 7, F.lit(1)).alias("__cap"))
+    return (fps.join(fps2, "doc_id").join(meta, "doc_id")
+            .select("doc_id", "n_kgrams",
+                    (F.col("fingerprints") == F.col("fp_b"))
+                    .alias("fps_stable"),
+                    (F.size("fingerprints") <= F.col("__cap"))
+                    .alias("fp_count_ok")))
 
 
 def q_simhash_dup_invariant(spark, sf_dir):
@@ -1027,23 +1117,37 @@ def q_prepare_corpus_documents(spark, sf_dir):
 
 
 def q_media_features(spark, sf_dir):
-    """Multimodal plumbing: deterministic fake-decode features over binary
-    payloads synthesized from document bytes."""
-    from python_hll_spark.operators.multimodal import extract_image_features
+    """Multimodal plumbing, value-checked via self-oracle invariants (the
+    decode step is a seeded-deterministic fake, so its contract is
+    SQL-stateable even though its outputs aren't SQL-computable):
+    - decode_deterministic: image features decoded twice (second pass over
+      a repartition(7)-shuffled copy) are bit-identical;
+    - hist_mass_ok: the channel histogram is a probability vector
+      (sum(features) == 1 within 1e-9; payloads are non-empty so the
+      histogram total is always positive);
+    - n_frames: the audio leg frames 4096 PCM samples at 512/frame ->
+      exactly 8 RMS frames, an exact SQL literal;
+    - rms_in_range: every RMS frame within [0, 2^15] (int16 PCM bound).
+    """
+    from python_hll_spark.operators.multimodal import (
+        extract_audio_features, extract_image_features)
 
-    docs = _read(spark, sf_dir, "documents").limit(50)
+    docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     media = docs.select(F.col("doc_id").cast("string").alias("media_id"),
                         F.encode(F.substring("text", 1, 64), "utf-8").alias("payload"))
-    from python_hll_spark.operators.multimodal import extract_audio_features
-
     feats = extract_image_features(media)
+    feats2 = (extract_image_features(media.repartition(7))
+              .withColumnRenamed("features", "features_b"))
     audio = extract_audio_features(media)
-    return (feats.join(audio, "media_id")
+    mass = F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x)
+    return (feats.join(feats2, "media_id").join(audio, "media_id")
             .select("media_id",
-                    F.round(F.element_at("features", 1) * 1e6)
-                    .cast("long").alias("f1_micro"),
-                    F.round(F.element_at("rms", 1)).cast("long")
-                    .alias("rms1")))
+                    (F.col("features") == F.col("features_b"))
+                    .alias("decode_deterministic"),
+                    (F.abs(mass - 1.0) < 1e-9).alias("hist_mass_ok"),
+                    F.size("rms").alias("n_frames"),
+                    F.forall("rms", lambda r: (r >= 0) & (r <= F.lit(32768.0)))
+                    .alias("rms_in_range")))
 
 
 # --------------------------------------------------------------------------
@@ -1272,6 +1376,29 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON i.id_a = sa.doc_id
             JOIN sizes sb ON i.id_b = sb.doc_id
             WHERE 2 * i.inter >= (sa.sz + sb.sz - i.inter)
+        """,
+        "minhash_dedup_documents": """
+            SELECT doc_id,
+                   (regexp_replace(text, '\\s', '', 'g') <> '') AS dup_pair_found
+            FROM documents
+        """,
+        "simhash_documents": """
+            SELECT doc_id, TRUE AS sig_stable FROM documents
+        """,
+        "near_dedup_documents": """
+            SELECT doc_id, TRUE AS kept_or_neardup FROM documents
+        """,
+        "winnowing_documents": """
+            SELECT doc_id,
+                   greatest(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 7, 0) AS n_kgrams,
+                   TRUE AS fps_stable, TRUE AS fp_count_ok
+            FROM documents
+        """,
+        "media_features": """
+            SELECT doc_id::VARCHAR AS media_id,
+                   TRUE AS decode_deterministic, TRUE AS hist_mass_ok,
+                   8 AS n_frames, TRUE AS rms_in_range
+            FROM documents WHERE doc_id < 50
         """,
         "simhash_dup_invariant": """
             SELECT doc_id, TRUE AS dup_hamming_zero FROM documents

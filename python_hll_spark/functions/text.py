@@ -150,7 +150,7 @@ def repetition_stats(df, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
-                    hot_words: int = 10000):
+                    hot_words: int = 10000, cache_out: list | None = None):
     """CCNet-style corpus-self unigram log-probability per doc: build the
     corpus word-frequency table once (an aggregation, not a model), then
     score each doc by the mean log10 probability of its words.  Low scores
@@ -167,11 +167,23 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
     and only the long tail (whose per-word counts are small and balanced by
     construction) takes the shuffle join.  The frequency AGGREGATION itself
     is safe either way: groupBy does map-side partial combine, so each
-    reducer receives one partial per task, not one row per occurrence."""
+    reducer receives one partial per task, not one row per occurrence.
+
+    Scan discipline: the frequency table is PERSISTED (vocab-sized — KBs
+    to MBs at any corpus scale), so the corpus-wide explode+aggregate runs
+    exactly once; the word total, the hot-set sort, and the tail join all
+    read the cache instead of re-exploding the corpus (the round-3 plan
+    re-executed that lineage three times).  The persist handle is appended
+    to ``cache_out`` when given; otherwise it lives until the session
+    drops it."""
     words = df.select(F.col(id_col),
                       F.explode(_norm_word_array(F.col(text_col))).alias("w"))
-    total = words.count()
-    freq = words.groupBy("w").agg(F.count("*").alias("cnt"))
+    freq = words.groupBy("w").agg(F.count("*").alias("cnt")).persist()
+    if cache_out is not None:
+        cache_out.append(freq)
+    # corpus word total from the vocab-sized cache — NOT a second corpus
+    # scan (sum of per-word counts == occurrence count)
+    total = freq.agg(F.sum("cnt")).first()[0] or 0
     # deterministic hot set: top-K by (count desc, word) — vocab-sized sort,
     # never corpus-sized
     hot = freq.orderBy(F.desc("cnt"), F.asc("w")).limit(hot_words)

@@ -132,11 +132,15 @@ def with_ivf_lists(df: DataFrame, vec_col: str, centroids: np.ndarray,
 
 def srp_topk(corpus: DataFrame, probes: DataFrame, k: int = 10, n_bits: int = 8,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             seed: int = 42, multiprobe: bool = True) -> DataFrame:
+             seed: int = 42, multiprobe: bool = True,
+             dim: int | None = None) -> DataFrame:
     """Approximate cosine top-k: SRP-bucketed equi-join then exact rescoring
     within buckets.  With multiprobe, each probe also scans hamming-1 buckets
-    (recall boost at (n_bits+1)x candidate cost)."""
-    dim = len(corpus.select(vec_col).first()[0])
+    (recall boost at (n_bits+1)x candidate cost).
+
+    Pass ``dim`` when known to skip the tiny eager first() probe job."""
+    if dim is None:
+        dim = len(corpus.select(vec_col).first()[0])
 
     c = with_srp_bucket(corpus.select(id_col, vec_col), vec_col,
                         dim, n_bits, seed)
@@ -184,11 +188,19 @@ def _spherical_kmeans(sample: np.ndarray, n_lists: int, seed: int = 42,
 def ivf_train(corpus: DataFrame, n_lists: int = 64, vec_col: str = "embedding",
               seed: int = 42, train_per_list: int = 256) -> np.ndarray:
     """Train IVF centroids on a seeded sample (standard IVF practice: the
-    quantizer trains on O(n_lists*256) vectors, not the corpus)."""
-    n = corpus.count()
+    quantizer trains on O(n_lists*256) vectors, not the corpus).
+
+    Sampling is ONE corpus pass, no count job: order by a seeded xxhash64
+    of the vector and take the first ``n_lists * train_per_list`` rows.
+    Catalyst plans this as TakeOrderedAndProject — each task keeps a
+    bounded target-sized heap, the driver merges heads — so it is
+    count-free, unbiased (hash order is pseudo-random), deterministic for
+    a given seed, and never shuffles the corpus.  (The round-3 version ran
+    a full ``corpus.count()`` first just to size a sample fraction — a
+    whole extra 100 TB scan for a 16 K-row sample.)"""
     target = n_lists * train_per_list
-    frac = min(1.0, target / max(n, 1))
-    rows = (corpus.select(vec_col).sample(False, frac, seed=seed)
+    rows = (corpus.select(vec_col)
+            .orderBy(F.xxhash64(F.lit(seed), F.col(vec_col)))
             .limit(target).collect())
     sample = np.array([r[0] for r in rows], dtype=np.float64)
     return _spherical_kmeans(sample, n_lists, seed=seed)
@@ -228,7 +240,8 @@ def ivf_topk(corpus: DataFrame, probes: DataFrame, k: int = 10,
 def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.95,
                           id_col: str = "vec_id", vec_col: str = "embedding",
                           n_bits: int = 8, seed: int = 42,
-                          max_bucket: int = 512) -> DataFrame:
+                          max_bucket: int = 512,
+                          dim: int | None = None) -> DataFrame:
     """Near-duplicate vector pairs by cosine >= threshold, SRP-bucketed.
 
     Scale hardening (same ``__bsz``/star pattern as ``lsh_candidate_pairs``):
@@ -240,8 +253,11 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.95,
     connectivity survives; dissimilar collision members fail the cosine
     threshold exactly as the pairwise path would drop them.  Each vector
     lands in exactly ONE bucket, so small/large pair sets are disjoint and
-    no distinct (extra shuffle) is needed."""
-    dim = len(df.select(vec_col).first()[0])
+    no distinct (extra shuffle) is needed.
+
+    Pass ``dim`` when known to skip the tiny eager first() probe job."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
     tagged = with_srp_bucket(df.select(id_col, vec_col), vec_col,
                              dim, n_bits, seed)
     sizes = (tagged.groupBy("bucket")

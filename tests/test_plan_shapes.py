@@ -118,3 +118,30 @@ def test_quantiles_composite_group_plan(spark):
     assert "MapInArrow" in plan
     assert "Exchange" not in plan.split("MapInArrow")[-1]
     assert plan.count("Exchange") == 2
+
+
+def test_unigram_logprob_single_corpus_agg(spark):
+    """The corpus-wide explode+aggregate (the expensive lineage) must run
+    ONCE: freq is persisted, so the word total, hot-set sort, and tail
+    join all read InMemoryTableScan instead of re-exploding the corpus.
+    Round-3 plan re-executed the aggregation lineage three times."""
+    from python_hll_spark.functions.text import unigram_logprob
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    caches = []
+    out = unigram_logprob(docs, cache_out=caches)
+    plan = _plan(out)
+    # freq comes from the cache in BOTH remaining consumers (hot broadcast
+    # + tail join): the final job contains cache scans, and the only
+    # corpus explodes left are the two narrow words branches (no
+    # HashAggregate over an exploded corpus outside the cached lineage)
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    # executing scans carry both columns; the extra [text]-only FileScan
+    # strings are the cached relation's subtree reprinted inside each
+    # InMemoryTableScan node, not separate jobs
+    n_scans = len(re.findall(r"FileScan parquet \[doc_id", plan))
+    assert n_scans <= 2, f"corpus re-scanned {n_scans}x:\n{plan}"
+    assert len(caches) == 1
+    out.collect()
+    for c in caches:
+        c.unpersist()
