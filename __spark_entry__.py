@@ -865,12 +865,24 @@ def q_near_dedup_documents(spark, sf_dir):
     docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
     kept = near_dedup(docs, threshold=0.9, num_hashes=64, bands=16)
     dropped = docs.select("doc_id").exceptAll(kept.select("doc_id"))
+    audited = _neardup_audit(docs, dropped)
+    return (docs.select("doc_id").join(audited, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce(F.col("__near"), F.lit(True))
+                    .alias("kept_or_neardup")))
 
+
+def _neardup_audit(all_docs, subject_ids):
+    """(doc_id, __near bool) for each subject id: TRUE iff the doc's exact
+    3-word-shingle Jaccard against some OTHER doc in ``all_docs`` is
+    >= 0.5.  Joins only the subjects' shingles (broadcast — subjects are
+    the handful of dropped docs) against the corpus shingles, so the
+    audit is one cheap scan, never a quadratic self-join."""
     ws = _norm_words(F.col("text"))
     shingle_idx = F.when(
         F.size(ws) >= 3, F.sequence(F.lit(1), F.size(ws) - 2)
     ).otherwise(F.array().cast("array<int>"))
-    shingles = _read(spark, sf_dir, "documents").select(
+    shingles = all_docs.select(
         "doc_id", ws.alias("__ws"), shingle_idx.alias("__idx")
     ).select(
         "doc_id",
@@ -880,7 +892,7 @@ def q_near_dedup_documents(spark, sf_dir):
                 " ", F.element_at("__ws", i), F.element_at("__ws", i + 1),
                 F.element_at("__ws", i + 2))))).alias("s"))
     sizes = shingles.groupBy("doc_id").agg(F.count("*").alias("sz"))
-    d_sh = (shingles.join(F.broadcast(dropped), "doc_id")
+    d_sh = (shingles.join(F.broadcast(subject_ids), "doc_id")
             .select(F.col("doc_id").alias("id_d"), "s"))
     inter = (d_sh.join(shingles, "s")
              .where(F.col("doc_id") != F.col("id_d"))
@@ -889,14 +901,58 @@ def q_near_dedup_documents(spark, sf_dir):
     jac = (inter.join(F.broadcast(sz_d), "id_d").join(sizes, "doc_id")
            .withColumn("j", F.col("k") / (F.col("sz_d") + F.col("sz") - F.col("k")))
            .groupBy("id_d").agg(F.max("j").alias("max_j")))
-    audited = (dropped.join(jac, dropped.doc_id == jac.id_d, "left")
-               .select(dropped.doc_id,
-                       (F.coalesce(F.col("max_j"), F.lit(0.0)) >= 0.5)
-                       .alias("__near")))
-    return (docs.select("doc_id").join(audited, "doc_id", "left")
-            .select("doc_id",
-                    F.coalesce(F.col("__near"), F.lit(True))
-                    .alias("kept_or_neardup")))
+    return (subject_ids.join(jac, subject_ids.doc_id == jac.id_d, "left")
+            .select(subject_ids.doc_id,
+                    (F.coalesce(F.col("max_j"), F.lit(0.0)) >= 0.5)
+                    .alias("__near")))
+
+
+def q_incremental_near_dedup_documents(spark, sf_dir):
+    """Incremental NEAR-dedup of a new crawl batch against a persisted
+    band-key store, value-checked by duplicate injection: the store is the
+    two-thirds of the corpus with doc_id % 3 != 0 (its MinHash signatures
+    + band keys, exactly what ``near_store_write`` persists); the batch is
+    the remaining third PLUS an exact copy of every store doc at
+    id + 1,000,000.
+    - injected copies MUST be dropped (exact copy -> every band shared
+      with its store doc -> est_jaccard 1.0 >= 0.9, whether it dies in the
+      within-batch collapse or at the store probe);
+    - batch originals may be dropped only if genuinely near something:
+      exact 3-shingle Jaccard >= 0.5 vs some other doc (store or batch) —
+      the same false-positive audit as near_dedup_documents.
+    The oracle expects TRUE for every batch row of both kinds."""
+    from python_hll_spark.operators.dedup import (_band_keys_frame,
+                                                  incremental_near_dedup,
+                                                  minhash_signatures)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.where(F.col("doc_id") % 3 != 0)
+    originals = docs.where(F.col("doc_id") % 3 == 0)
+    injected = store_docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                                 "text")
+    batch = originals.unionByName(injected)
+
+    store_sigs = minhash_signatures(store_docs, num_hashes=64, n=3).persist()
+    store_bands = _band_keys_frame(store_sigs, 16)
+    caches = [store_sigs]
+    kept = incremental_near_dedup(batch, store_sigs, store_bands,
+                                  threshold=0.9, num_hashes=64, bands=16,
+                                  n=3, cache_out=caches)
+    kept_ids = kept.select("doc_id")
+
+    inj_ok = (injected.select("doc_id")
+              .join(kept_ids.withColumn("__k", F.lit(True)), "doc_id", "left")
+              .select("doc_id",
+                      F.col("__k").isNull().alias("ok")))
+    dropped_orig = originals.select("doc_id").exceptAll(
+        kept_ids.where(F.col("doc_id") < 1000000))
+    audited = _neardup_audit(docs.unionByName(injected), dropped_orig)
+    orig_ok = (originals.select("doc_id")
+               .join(audited, "doc_id", "left")
+               .select("doc_id",
+                       F.coalesce(F.col("__near"), F.lit(True)).alias("ok")))
+    # caches stay persisted until the driver collects (tiny, session-scoped)
+    return orig_ok.unionByName(inj_ok)
 
 
 def q_incremental_dedup_documents(spark, sf_dir):
@@ -1203,6 +1259,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
+        "incremental_near_dedup_documents": q_incremental_near_dedup_documents,
         "winnowing_documents": q_winnowing_documents,
         "token_profile_seqs": q_token_profile_seqs,
         "prepare_corpus_documents": q_prepare_corpus_documents,
@@ -1304,6 +1361,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_dupes
             FROM documents
             GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+        """,
+        "incremental_near_dedup_documents": """
+            SELECT doc_id, TRUE AS ok FROM documents WHERE doc_id % 3 = 0
+            UNION ALL
+            SELECT doc_id + 1000000 AS doc_id, TRUE AS ok
+            FROM documents WHERE doc_id % 3 <> 0
         """,
         "incremental_dedup_documents": """
             WITH existing AS (

@@ -798,6 +798,96 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     return labels.select(F.col("node").alias("id"), "component")
 
 
+# --------------------------------------------- incremental NEAR-dedup store
+def near_store_write(sig_df: DataFrame, path: str, bands: int = 32,
+                     id_col: str = "doc_id", mode: str = "overwrite") -> None:
+    """Persist a MinHash signature frame as a near-dup store: ``{path}/sigs``
+    holds (id, sig) and ``{path}/bands`` the derived (id, band, band_key)
+    rows, so a later corpus refresh bands NOTHING on the store side — the
+    daily job reads 8-byte band keys straight off parquet.  Append new
+    survivors after each refresh with ``mode="append"``; signatures must
+    be built with the same ``num_hashes``/``n`` and banded with the same
+    ``bands`` across appends (band keys are position-dependent)."""
+    sig_df.write.mode(mode).parquet(f"{path}/sigs")
+    _band_keys_frame(sig_df, bands, id_col).write.mode(mode) \
+        .parquet(f"{path}/bands")
+
+
+def near_store_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
+    """(sigs, bands) frames of a ``near_store_write`` store."""
+    return (spark.read.parquet(f"{path}/sigs"),
+            spark.read.parquet(f"{path}/bands"))
+
+
+def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
+                           store_bands: DataFrame, threshold: float = 0.8,
+                           num_hashes: int = 128, bands: int = 32, n: int = 3,
+                           text_col: str = "text", id_col: str = "doc_id",
+                           cache_out: list | None = None) -> DataFrame:
+    """Near-dedup a NEW crawl batch against yesterday's corpus — the
+    missing tier next to ``incremental_dedup`` (exact fingerprints): a new
+    doc that is a NEAR-copy of anything already in the store is dropped
+    without ever re-processing the store's text.
+
+    Composition (every piece shared with the batch pipeline):
+      1. within-batch ``near_dedup`` (signatures -> capped LSH ->
+         connected components -> min-id representative);
+      2. survivors' band keys BROADCAST-join the store's persisted band
+         keys (the ``decontaminate`` train-vs-eval shape with the store as
+         the train side: the store — the 100 TB object — is scanned once
+         and never shuffled; the daily batch is the small side);
+      3. candidate store signatures score against the broadcast batch
+         signatures; batch ids with est_jaccard >= ``threshold`` to ANY
+         store doc are dropped (their whole within-batch cluster already
+         collapsed into them in step 1).
+
+    ``num_hashes``/``bands``/``n`` must match the store's build
+    parameters.  Returns surviving rows of ``new_df`` (all columns);
+    append their signatures to the store via
+    ``near_store_write(minhash_signatures(kept, ...), path,
+    mode="append")`` — see ``tests/test_incremental_dedup.py`` for the
+    round-trip.  The batch signature pass runs ONCE and is shared by the
+    within-batch LSH and the store probe; its persist handle (plus the
+    banding caches) land in ``cache_out`` when given, else live until the
+    session releases them."""
+    caches = cache_out if cache_out is not None else []
+    sigs_all = minhash_signatures(new_df, text_col, n, num_hashes,
+                                  id_col).persist()
+    caches.append(sigs_all)
+
+    # within-batch collapse (same plan as near_dedup, sharing sigs_all)
+    cand0 = lsh_candidate_pairs(sigs_all, bands, id_col, cache_out=caches)
+    pairs = (cand0.where(F.col("est_jaccard") >= threshold)
+             .select("id_a", "id_b"))
+    comps = connected_components(pairs)  # eager (checkpointed)
+    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
+    drop_ids = (comps.join(keep, "component")
+                .where(F.col("id") != F.col("keep_id"))
+                .select(F.col("id").alias(id_col)))
+    batch = new_df.join(drop_ids, id_col, "left_anti")
+    b_sigs = sigs_all.join(drop_ids, id_col, "left_anti")
+
+    # store probe: batch is the SMALL side — broadcast its bands/sigs so
+    # the store scans once and never shuffles
+    b_bands = (_band_keys_frame(b_sigs, bands, id_col)
+               .withColumnRenamed(id_col, "__new_id"))
+    cand = (store_bands.join(F.broadcast(b_bands), ["band", "band_key"])
+            .select(F.col(id_col).alias("__store_id"), "__new_id")
+            .distinct())
+    s_sigs = store_sigs.select(F.col(id_col).alias("__store_id"),
+                               F.col("sig").alias("__s_sig"))
+    n_sigs = b_sigs.select(F.col(id_col).alias("__new_id"),
+                           F.col("sig").alias("__n_sig"))
+    match_frac = (F.size(F.filter(
+        F.zip_with("__s_sig", "__n_sig", lambda x, y: x == y),
+        lambda v: v)) / F.size("__s_sig"))
+    hits = (s_sigs.join(F.broadcast(cand), "__store_id")
+            .join(F.broadcast(n_sigs), "__new_id")
+            .where(match_frac >= threshold)
+            .select(F.col("__new_id").alias(id_col)).distinct())
+    return batch.join(F.broadcast(hits), id_col, "left_anti")
+
+
 def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
                threshold: float = 0.8, num_hashes: int = 128, bands: int = 32,
                n: int = 3) -> DataFrame:

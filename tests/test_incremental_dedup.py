@@ -148,3 +148,80 @@ def test_simhash_arrow_tokenizer(spark):
         assert sigs[1] == sigs[2], tok
         ham = bin((sigs[1] ^ sigs[3]) & ((1 << 64) - 1)).count("1")
         assert ham > 10, (tok, ham)
+
+
+# -------------------------------------------- incremental NEAR-dedup store
+def _near_docs(spark):
+    base = ("the quick brown fox jumps over the lazy dog while rain "
+            "falls gently on the quiet grey town every single morning ")
+    rows = [(i, base.replace("fox", f"fox{i}") + f"suffix token {i} "
+             + base) for i in range(1, 6)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_incremental_near_dedup_store_roundtrip(spark, tmp_path):
+    """Write the store, append a refresh, probe a new batch: a near-copy
+    of a STORED doc is dropped, a near-copy of an APPENDED doc is dropped,
+    a within-batch near-pair collapses to its min id, and a fresh doc
+    survives."""
+    from python_hll_spark.operators.dedup import (
+        incremental_near_dedup, minhash_signatures, near_store_read,
+        near_store_write)
+
+    path = str(tmp_path / "near_store")
+    corpus = _near_docs(spark)                       # docs 1..5
+    near_store_write(minhash_signatures(corpus, num_hashes=64, n=3),
+                     path, bands=16)
+    extra = spark.createDataFrame(
+        [(6, "appended corpus document about winnowing fingerprints and "
+             "rolling hashes over normalized lowercase text windows " * 2)],
+        "doc_id long, text string")
+    near_store_write(minhash_signatures(extra, num_hashes=64, n=3),
+                     path, bands=16, mode="append")
+
+    sigs, bnds = near_store_read(spark, path)
+    assert sorted(r["doc_id"] for r in sigs.select("doc_id").collect()) \
+        == [1, 2, 3, 4, 5, 6]
+
+    stored_text = corpus.where("doc_id = 3").collect()[0]["text"]
+    appended_text = extra.collect()[0]["text"]
+    fresh = ("an entirely unrelated new crawl document mentioning solar "
+             "panels batteries and inverters in a long rambling list " * 2)
+    batch = spark.createDataFrame([
+        (103, stored_text + " tiny edit"),     # near-copy of stored 3
+        (106, appended_text),                  # exact copy of appended 6
+        (110, fresh),                          # fresh -> kept
+        (111, fresh + " minor twist"),         # within-batch near-dup of 110
+    ], "doc_id long, text string")
+
+    caches = []
+    kept = incremental_near_dedup(batch, sigs, bnds, threshold=0.8,
+                                  num_hashes=64, bands=16, n=3,
+                                  cache_out=caches)
+    got = sorted(r["doc_id"] for r in kept.select("doc_id").collect())
+    assert got == [110], got
+    assert set(kept.columns) == {"doc_id", "text"}
+    for c in caches:
+        c.unpersist()
+
+
+def test_incremental_near_dedup_empty_store(spark):
+    """With an empty store the operator degrades to plain within-batch
+    near-dedup."""
+    from python_hll_spark.operators.dedup import (incremental_near_dedup,
+                                                  minhash_signatures)
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    e_sigs = minhash_signatures(empty, num_hashes=64, n=3)
+    from python_hll_spark.operators.dedup import _band_keys_frame
+    e_bands = _band_keys_frame(e_sigs, 16)
+    doc = ("repeated words about streams sketches and joins flowing "
+           "through a long deterministic sentence for shingling " * 2)
+    batch = spark.createDataFrame(
+        [(1, doc), (2, doc + " extra"), (3, "short fresh unrelated text")],
+        "doc_id long, text string")
+    kept = sorted(r["doc_id"] for r in
+                  incremental_near_dedup(batch, e_sigs, e_bands,
+                                         threshold=0.8, num_hashes=64,
+                                         bands=16, n=3).collect())
+    assert kept == [1, 3]
