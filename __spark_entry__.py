@@ -389,7 +389,7 @@ def q_srp_ann_embeddings(spark, sf_dir):
     dups = probes.select((F.col("probe_id") + 1000000).alias("vec_id"),
                          "embedding")
     corpus = emb.select("vec_id", "embedding").unionByName(dups)
-    srp = srp_topk(corpus, probes, k=5, n_bits=6)
+    srp = srp_topk(corpus, probes, k=5, n_bits=6, dim=64)
     brute = brute_force_topk(corpus, probes, k=5)
     self_hit = (srp.where((F.col("rank") == 1)
                           & (F.col("probe_id") == F.col("vec_id")))
@@ -437,7 +437,8 @@ def q_embedding_dup_recall(spark, sf_dir):
 
     emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     dup = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
-    pairs = embedding_dedup_pairs(emb.unionByName(dup), threshold=0.99)
+    pairs = embedding_dedup_pairs(emb.unionByName(dup), threshold=0.99,
+                                  dim=64)
     found = (pairs.where(F.col("id_b") == F.col("id_a") + 1000000)
              .select(F.col("id_a").alias("vec_id"),
                      F.lit(True).alias("dup_found")))

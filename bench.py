@@ -79,12 +79,18 @@ def _host_calibration() -> dict:
     for _ in range(100):
         np.multiply(x, np.uint64(0x9E3779B97F4A7C15), out=y)
     cache = 100 * len(x) / (time.time() - t0) / 1e6
+    # best-of-4 separate passes: the question is the bandwidth AVAILABLE
+    # to this tenant, so a transient dip in one pass must not misreport a
+    # healthy bus as contended (a truly saturated bus is slow in ALL
+    # passes — second-to-second single-pass readings swing 3-8x)
     x2 = np.arange(30_000_000, dtype=np.uint64)
     y2 = np.empty_like(x2)
-    t0 = time.time()
-    for _ in range(3):
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.time()
         np.multiply(x2, np.uint64(5), out=y2)
-    dram = 3 * len(x2) / (time.time() - t0) / 1e6
+        best = min(best, time.time() - t0)
+    dram = len(x2) / best / 1e6
     return {"cache_melems": round(cache), "dram_melems": round(dram)}
 
 
@@ -106,6 +112,7 @@ def _scaling_worker(n_cores: int) -> dict:
     # >=4 reps at 2 and 8 cores tightens the 2->8 efficiency band (it ran
     # 0.64-0.89 across round-1 runs with 2-3 reps).
     reps = {1: 2, 2: 4, 4: 4, 8: 5}.get(n_cores, 5)
+    cal_pre = _host_calibration()
     spark = get_spark(f"bench-scale-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(32, n_cores))
     spark.sparkContext.setLogLevel("ERROR")
@@ -131,6 +138,7 @@ def _scaling_worker(n_cores: int) -> dict:
     return {"cores": n_cores, "wall_sec": wall, "walls": walls,
             "n_tokens": int(n_tokens),
             "tokens_per_sec": int(n_tokens / wall),
+            "calibration_pre": cal_pre,
             "calibration": _host_calibration(),
             "ndv": {r["source"]: r["ndv"] for r in res}}
 
@@ -146,6 +154,7 @@ def _near_dedup_worker(n_cores: int, n_docs: int) -> dict:
                                                   minhash_signatures_tokens)
     from python_hll_spark.plans.session import get_spark
 
+    cal_pre = _host_calibration()
     spark = get_spark(f"bench-neardedup-{n_cores}", master=f"local[{n_cores}]",
                       shuffle_partitions=max(32, n_cores))
     spark.sparkContext.setLogLevel("ERROR")
@@ -199,6 +208,7 @@ def _near_dedup_worker(n_cores: int, n_docs: int) -> dict:
         if best is None or rep["wall_sec"] < best["wall_sec"]:
             best = rep
     spark.stop()
+    best["calibration_pre"] = cal_pre
     best["calibration"] = _host_calibration()
     best.update({"cores": n_cores, "n_docs": n_rows, "n_tokens": n_tokens,
                  "n_out": n_out,
@@ -327,6 +337,12 @@ NEAR_DEDUP_DOCS = int(os.environ.get("SPARK_GRAFT_NEAR_DEDUP_DOCS",
 # otherwise dominate the 2->8 pair at small doc counts
 NEAR_DEDUP_SCALING_DOCS = int(os.environ.get(
     "SPARK_GRAFT_NEAR_DEDUP_SCALING_DOCS", "1200000"))
+# shared-tenant bus health gate: a scaling leg whose one-core DRAM-stream
+# probe (pre OR post) reads below this is a contended draw — retried, and
+# marked bus_contended if contention persists
+DRAM_HEALTHY_MELEMS = int(os.environ.get("SPARK_GRAFT_DRAM_HEALTHY", "200"))
+BUS_RETRIES = int(os.environ.get("SPARK_GRAFT_BUS_RETRIES", "2"))
+BUS_RETRY_SLEEP = int(os.environ.get("SPARK_GRAFT_BUS_RETRY_SLEEP", "20"))
 
 
 def main() -> None:
@@ -344,12 +360,46 @@ def main() -> None:
     total, per_query = run_headline()
 
     _ensure_seqs_parquet()
+
+    def _sub(args):
+        out = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
+                             capture_output=True, text=True, check=True, cwd=REPO)
+        return json.loads(out.stdout.strip().splitlines()[-1])
+
+    def _leg_healthy(rep) -> bool:
+        return min(rep.get("calibration_pre", {}).get("dram_melems", 0),
+                   rep.get("calibration", {}).get("dram_melems", 0)) \
+            >= DRAM_HEALTHY_MELEMS
+
+    def _run_leg(args, what):
+        """Run a scaling leg; if the shared-tenant DRAM bus was contended
+        during it (pre- OR post-leg probe below the healthy band), retry —
+        a contended draw must not be stamped canonical (the round-3 JSON
+        recorded a 0.73 2->8 ratio whose own probes said saturated bus,
+        while clean draws read 0.95).  After BUS_RETRIES contended
+        attempts the best one ships marked bus_contended so the artifact
+        self-identifies as non-canonical."""
+        best = None
+        for attempt in range(BUS_RETRIES + 1):
+            rep = _sub(args)
+            rep["bus_healthy"] = _leg_healthy(rep)
+            if rep["bus_healthy"]:
+                return rep
+            print(f"# {what}: contended bus (dram pre/post "
+                  f"{rep.get('calibration_pre', {}).get('dram_melems')}/"
+                  f"{rep.get('calibration', {}).get('dram_melems')} M/s) — "
+                  f"attempt {attempt + 1}/{BUS_RETRIES + 1}", file=sys.stderr)
+            if best is None or rep["wall_sec"] < best["wall_sec"]:
+                best = rep
+            if attempt < BUS_RETRIES:
+                time.sleep(BUS_RETRY_SLEEP)
+        best["bus_contended"] = True
+        return best
+
     scaling = {}
     for cores in SCALING_CORES:
-        out = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--scaling-worker", str(cores)],
-            capture_output=True, text=True, check=True, cwd=REPO)
-        scaling[cores] = json.loads(out.stdout.strip().splitlines()[-1])
+        scaling[cores] = _run_leg(["--scaling-worker", str(cores)],
+                                  f"scaling local[{cores}]")
         print(f"# scaling local[{cores}]: {scaling[cores]['tokens_per_sec']:,} tokens/s "
               f"({scaling[cores]['wall_sec']:.1f}s)", file=sys.stderr)
 
@@ -358,18 +408,14 @@ def main() -> None:
             return round((scaling[n]["wall_sec"] / scaling[n4]["wall_sec"]) / 4.0, 3)
         return None
 
-    def _sub(args):
-        out = subprocess.run([sys.executable, os.path.abspath(__file__)] + args,
-                             capture_output=True, text=True, check=True, cwd=REPO)
-        return json.loads(out.stdout.strip().splitlines()[-1])
-
     # end-to-end pre-tokenized near-dedup: stage breakdown at CPUS cores +
     # the 2 -> 8 scaling pair (both points below the host DRAM ceiling)
     nd = {str(CPUS): _sub(["--near-dedup-worker", str(CPUS),
                            str(NEAR_DEDUP_DOCS)])}
     for c in (2, 8):
-        nd[str(c)] = _sub(["--near-dedup-worker", str(c),
-                           str(NEAR_DEDUP_SCALING_DOCS)])
+        nd[str(c)] = _run_leg(["--near-dedup-worker", str(c),
+                               str(NEAR_DEDUP_SCALING_DOCS)],
+                              f"near-dedup local[{c}]")
     nd["scaling_efficiency_2_to_8"] = round(
         (nd["2"]["wall_sec"] / nd["8"]["wall_sec"]) / 4.0, 3)
     print(f"# near_dedup@{CPUS}: {nd[str(CPUS)]['tokens_per_sec']:,} tok/s "
@@ -401,6 +447,14 @@ def main() -> None:
         "near_dedup": nd,
         "aux": aux,
         "calibration": _host_calibration(),
+    }
+    legs = list(scaling.values()) + [nd["2"], nd["8"]]
+    result["bus_health"] = {
+        "dram_healthy_melems": DRAM_HEALTHY_MELEMS,
+        "all_scaling_legs_healthy": all(
+            leg.get("bus_healthy", False) for leg in legs),
+        "contended_legs": [f"{leg.get('cores')}c"
+                           for leg in legs if leg.get("bus_contended")],
     }
     print(json.dumps(result))
 

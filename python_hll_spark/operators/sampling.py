@@ -37,27 +37,69 @@ def _local_topk_prune(narrow: DataFrame, by: list[str], k: int,
     k x partitions instead of the group's full row count, which is what
     makes the sampler survive a 10^10-row dominant group at 100 TB.
 
-    Task-local state is <= k rows per group present in the partition."""
+    Task-local state is <= k rows per group present in the partition.
+
+    Arrow-native: columns stay Arrow arrays end to end (types and nulls —
+    including NULL group keys — preserved exactly via ``take``); group
+    codes come from null-safe ``dictionary_encode`` and the per-group
+    top-k from one ``np.lexsort`` + segment-rank pass, replacing the
+    round-3 pandas concat/sort/groupby-head per batch."""
+    import numpy as np
+
     cols = list(narrow.columns)
-    asc = [ascending, True]  # key order, then id asc (the window tie-break)
+    id_idx, key_idx = cols.index(id_col), cols.index(key_col)
+    by_idx = [cols.index(c) for c in by]
+
+    def _sort_key(keys_np):
+        if ascending:
+            return keys_np
+        if keys_np.dtype.kind == "i":
+            return ~keys_np        # bitwise NOT: exact descending for ints
+        return -keys_np
 
     def prune(batches):
-        import pandas as pd
-        carry = None
-        for pdf in batches:
-            both = pdf if carry is None else pd.concat(
-                [carry, pdf], ignore_index=True)
-            both = both.sort_values([key_col, id_col], ascending=asc,
-                                    kind="mergesort")
-            if by:
-                carry = both.groupby(by, dropna=False, sort=False).head(k)
-            else:
-                carry = both.head(k)
-            carry = carry.reset_index(drop=True)
-        if carry is not None and len(carry):
-            yield carry[cols]
+        import pyarrow as pa
+        import pyarrow.compute as pc
 
-    return narrow.mapInPandas(prune, narrow.schema)
+        carry = None
+        for batch in batches:
+            arrs = [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                    else c for c in batch.columns]
+            if carry is not None:
+                arrs = [pa.concat_arrays([ca, a])
+                        for ca, a in zip(carry, arrs)]
+            n = len(arrs[0])
+            if n == 0:
+                continue
+            keys_np = arrs[key_idx].to_numpy(zero_copy_only=False)
+            ids_np = arrs[id_idx].to_numpy(zero_copy_only=False)
+            if by_idx:
+                code = np.zeros(n, dtype=np.int64)
+                for bi in by_idx:
+                    enc = pc.dictionary_encode(arrs[bi])
+                    # nulls form their own group (code 0 after the shift)
+                    idx = pc.fill_null(enc.indices.cast(pa.int64()), -1) \
+                        .to_numpy(zero_copy_only=False)
+                    code = code * (len(enc.dictionary) + 1) + (idx + 1)
+                order = np.lexsort((ids_np, _sort_key(keys_np), code))
+                sc = code[order]
+                starts = np.flatnonzero(
+                    np.concatenate([[True], sc[1:] != sc[:-1]]))
+                pos = np.arange(n)
+                rank = pos - starts[
+                    np.searchsorted(starts, pos, side="right") - 1]
+                keep = order[rank < k]
+            else:
+                order = np.lexsort((ids_np, _sort_key(keys_np)))
+                keep = order[:k]
+            # row order is irrelevant downstream (the ranking window
+            # re-sorts); a sorted take is cheaper on Arrow buffers
+            take = pa.array(np.sort(keep))
+            carry = [a.take(take) for a in arrs]
+        if carry is not None and len(carry[0]):
+            yield pa.RecordBatch.from_arrays(carry, names=cols)
+
+    return narrow.mapInArrow(prune, narrow.schema)
 
 
 def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id",

@@ -195,3 +195,20 @@ def test_weighted_sample_biases_toward_heavy(spark):
                    weighted_sample(df.repartition(7), 50, "w",
                                    by=["grp"], seed=2).collect())
     assert sorted(got) == again
+
+
+def test_bottomk_null_group_keys(spark):
+    """NULL group keys must form their own group through the Arrow prune
+    (dictionary_encode null handling) and match the unpruned window."""
+    from python_hll_spark.operators.sampling import bottomk_sample
+
+    rows = [(i, None if i % 3 == 0 else f"s{i % 2}") for i in range(300)]
+    df = spark.createDataFrame(rows, "doc_id long, source string") \
+        .repartition(8)
+    a = sorted(r["doc_id"] for r in
+               bottomk_sample(df, 5, by=["source"], prune=True).collect())
+    b = sorted(r["doc_id"] for r in
+               bottomk_sample(df, 5, by=["source"], prune=False).collect())
+    assert a == b
+    got = bottomk_sample(df, 5, by=["source"], prune=True).collect()
+    assert sum(1 for r in got if r["source"] is None) == 5
