@@ -819,6 +819,18 @@ def near_store_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
             spark.read.parquet(f"{path}/bands"))
 
 
+def near_store_init(spark, path: str, id_type: str = "bigint") -> None:
+    """Create an EMPTY near-dup store (day-0 bootstrap for a streaming or
+    first-ever incremental run): zero-row sigs/bands parquet with the
+    store schema, so readers and appends work uniformly from batch one."""
+    empty_sigs = spark.createDataFrame(
+        [], f"doc_id {id_type}, sig array<bigint>")
+    empty_bands = spark.createDataFrame(
+        [], f"doc_id {id_type}, band int, band_key bigint")
+    empty_sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    empty_bands.write.mode("overwrite").parquet(f"{path}/bands")
+
+
 def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
                            store_bands: DataFrame, threshold: float = 0.8,
                            num_hashes: int = 128, bands: int = 32, n: int = 3,

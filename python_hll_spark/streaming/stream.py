@@ -270,6 +270,67 @@ def dedup_stream(stream_df: DataFrame, text_col: str = "text",
     return fp_df.drop("__fp")
 
 
+def near_dedup_stream(stream_df: DataFrame, store_path: str,
+                      sink_path: str | None = None, *,
+                      threshold: float = 0.8, num_hashes: int = 128,
+                      bands: int = 32, n: int = 3, text_col: str = "text",
+                      id_col: str = "doc_id", append_store: bool = True,
+                      sink_writer=None):
+    """Streaming incremental NEAR-dedup: crawl micro-batches checked
+    against the persisted signature/band-key store, survivors written to
+    the sink AND appended to the store — so every micro-batch dedups
+    against the whole history (initial corpus + all earlier batches), the
+    perpetual-crawl shape ``dedup_stream`` (exact tier, watermark-bounded
+    state) cannot express.
+
+    Built on ``foreachBatch`` — the canonical Structured Streaming
+    pattern when a batch needs static joins plus a store update: each
+    micro-batch runs the full batch ``incremental_near_dedup`` (within-
+    batch collapse -> broadcast store probe; the store is scanned, never
+    shuffled), so streaming and batch tiers share one code path and one
+    store.  Bootstrap an empty store with ``near_store_init``.
+
+    Delivery caveat (standard foreachBatch): a batch replayed after a
+    failure re-appends its survivors' signatures (harmless for dedup
+    correctness — duplicate band keys only add candidates that score 1.0
+    against themselves) and re-writes them to the sink; pass
+    ``sink_writer(df, batch_id)`` writing to a per-batch-id path for an
+    idempotent sink.
+
+    Returns a ``DataStreamWriter`` — configure checkpointing/trigger and
+    ``.start()`` it."""
+    from python_hll_spark.operators.dedup import (incremental_near_dedup,
+                                                  minhash_signatures,
+                                                  near_store_read,
+                                                  near_store_write)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        store_sigs, store_bands = near_store_read(spark, store_path)
+        caches: list = []
+        kept = incremental_near_dedup(batch_df, store_sigs, store_bands,
+                                      threshold=threshold,
+                                      num_hashes=num_hashes, bands=bands,
+                                      n=n, text_col=text_col, id_col=id_col,
+                                      cache_out=caches).persist()
+        try:
+            if sink_writer is not None:
+                sink_writer(kept, batch_id)
+            elif sink_path is not None:
+                kept.write.mode("append").parquet(sink_path)
+            if append_store:
+                near_store_write(
+                    minhash_signatures(kept, text_col, n, num_hashes,
+                                       id_col),
+                    store_path, bands=bands, id_col=id_col, mode="append")
+        finally:
+            kept.unpersist()
+            for c in caches:
+                c.unpersist()
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
 def windowed_ndv_stream(stream_df: DataFrame, ts_col: str, key_col: str,
                         window: str = "1 minute", watermark: str = "2 minutes") -> DataFrame:
     """Watermarked approximate NDV per event-time window using Spark's

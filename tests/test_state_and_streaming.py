@@ -103,3 +103,56 @@ def test_checkpoint_retry_after_manifest_crash_no_double_count(
     assert sum(m["n_rows"] for m in metrics) == 300
     final = cp.finalize(spark, ["source"], spec)
     assert final.agg(F.sum("n_rows")).collect()[0][0] == 300
+
+
+def test_near_dedup_stream_across_microbatches(spark, tmp_path):
+    """Streaming incremental near-dedup: micro-batch 1's survivors are
+    appended to the store, so micro-batch 2 dedups against BOTH the
+    initial corpus and batch 1 — the cross-batch guarantee exact
+    dedup_stream's watermark state cannot give."""
+    import time as _t
+
+    from python_hll_spark.operators.dedup import (minhash_signatures,
+                                                  near_store_read,
+                                                  near_store_write)
+    from python_hll_spark.streaming.stream import near_dedup_stream
+
+    store = str(tmp_path / "store")
+    base = ("the quick brown fox jumps over the lazy dog while rain falls "
+            "gently on the quiet grey town every single morning again ")
+    corpus = spark.createDataFrame([(1, base * 2)], "doc_id long, text string")
+    near_store_write(minhash_signatures(corpus, num_hashes=64, n=3),
+                     store, bands=16)
+
+    fresh_x = ("a completely new crawl document describing solar panels "
+               "batteries and inverters in one long rambling list " * 2)
+    fresh_y = ("yet another unrelated page about winnowing fingerprints "
+               "rolling hashes and normalized lowercase text windows " * 2)
+    src = str(tmp_path / "src")
+    b1 = spark.createDataFrame(
+        [(10, base * 2 + " tiny edit"),      # near-copy of stored 1 -> drop
+         (11, fresh_x)],                     # fresh -> keep
+        "doc_id long, text string")
+    b2 = spark.createDataFrame(
+        [(20, fresh_x + " minor twist"),     # near-copy of batch-1's 11 -> drop
+         (21, fresh_y)],                     # fresh -> keep
+        "doc_id long, text string")
+    b1.coalesce(1).write.parquet(src)
+    _t.sleep(1.1)                            # distinct mtimes => batch order
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "sink")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (near_dedup_stream(stream, store, sink, threshold=0.8,
+                           num_hashes=64, bands=16, n=3)
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert kept == [11, 21], kept
+    sigs, bnds = near_store_read(spark, store)
+    store_ids = sorted(r["doc_id"] for r in sigs.select("doc_id").collect())
+    assert store_ids == [1, 11, 21], store_ids
+    assert bnds.where(F.col("doc_id") == 21).count() == 16
