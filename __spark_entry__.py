@@ -1184,10 +1184,14 @@ def q_media_features(spark, sf_dir):
       histogram total is always positive);
     - n_frames: the audio leg frames 4096 PCM samples at 512/frame ->
       exactly 8 RMS frames, an exact SQL literal;
-    - rms_in_range: every RMS frame within [0, 2^15] (int16 PCM bound).
+    - rms_in_range: every RMS frame within [0, 2^15] (int16 PCM bound);
+    - n_video_frames / video_mass_ok: the video leg samples every 4th of
+      16 fake-decoded frames -> exactly 4, each sampled frame's histogram
+      a probability vector.
     """
     from python_hll_spark.operators.multimodal import (
-        extract_audio_features, extract_image_features)
+        extract_audio_features, extract_image_features,
+        extract_video_features)
 
     docs = _read(spark, sf_dir, "documents").where(F.col("doc_id") < 50)
     media = docs.select(F.col("doc_id").cast("string").alias("media_id"),
@@ -1196,15 +1200,21 @@ def q_media_features(spark, sf_dir):
     feats2 = (extract_image_features(media.repartition(7))
               .withColumnRenamed("features", "features_b"))
     audio = extract_audio_features(media)
+    video = extract_video_features(media)
     mass = F.aggregate("features", F.lit(0.0), lambda acc, x: acc + x)
+    fmass = lambda fr: F.abs(  # noqa: E731
+        F.aggregate(fr, F.lit(0.0), lambda a, x: a + x) - 1.0) < 1e-9
     return (feats.join(feats2, "media_id").join(audio, "media_id")
+            .join(video, "media_id")
             .select("media_id",
                     (F.col("features") == F.col("features_b"))
                     .alias("decode_deterministic"),
                     (F.abs(mass - 1.0) < 1e-9).alias("hist_mass_ok"),
                     F.size("rms").alias("n_frames"),
                     F.forall("rms", lambda r: (r >= 0) & (r <= F.lit(32768.0)))
-                    .alias("rms_in_range")))
+                    .alias("rms_in_range"),
+                    F.size("frame_idx").alias("n_video_frames"),
+                    F.forall("frame_features", fmass).alias("video_mass_ok")))
 
 
 # --------------------------------------------------------------------------
@@ -1461,7 +1471,8 @@ def oracle_sql() -> dict[str, str]:
         "media_features": """
             SELECT doc_id::VARCHAR AS media_id,
                    TRUE AS decode_deterministic, TRUE AS hist_mass_ok,
-                   8 AS n_frames, TRUE AS rms_in_range
+                   8 AS n_frames, TRUE AS rms_in_range,
+                   4 AS n_video_frames, TRUE AS video_mass_ok
             FROM documents WHERE doc_id < 50
         """,
         "simhash_dup_invariant": """

@@ -127,3 +127,55 @@ def sample_frames(df: DataFrame, every_ms: int = 1000, payload_col: str = "paylo
     ts = F.sequence(F.lit(0), F.greatest(F.col(duration_col) - 1, F.lit(0)),
                     F.lit(every_ms))
     return df.select(id_col, ts.alias("frame_ts"))
+
+
+def deterministic_fake_video_decode(payload: bytes, n_frames: int = 16,
+                                    shape=(8, 8, 3)) -> np.ndarray:
+    """Reproducible stand-in video decoder: (n_frames, h, w, c) pseudo-frame
+    stack seeded by the payload bytes."""
+    seed = int.from_bytes(payload[:8].ljust(8, b"\0"), "little")
+    rng = np.random.default_rng(seed ^ 0x71D30)
+    return rng.integers(0, 256, size=(n_frames, *shape), dtype=np.uint8)
+
+
+def extract_video_features(df: DataFrame, payload_col: str = "payload",
+                           id_col: str = "media_id", decode=None,
+                           every_k: int = 4, n_features: int = 16) -> DataFrame:
+    """(id, frame_idx array<int>, frame_features array<array<double>>):
+    decode the frame stack, keep every ``every_k``-th frame (always
+    including frame 0), and emit a per-sampled-frame channel histogram —
+    the video leg of the multimodal plumbing.  Decode is the stubbed
+    piece (``decode=`` takes a real libav callable returning an
+    (n_frames, h, w, c) stack in production); the frame sampling and the
+    vectorized per-frame histogram (one ``np.apply_along_axis``-free
+    bincount over the flattened sampled stack) are real."""
+    decode = decode or deterministic_fake_video_decode
+
+    def extract(batches):
+        for pdf in batches:
+            idx_out, feat_out = [], []
+            for payload in pdf[payload_col]:
+                stack = decode(bytes(payload))
+                idx = np.arange(0, len(stack), every_k, dtype=np.int32)
+                sampled = stack[idx].reshape(len(idx), -1)
+                # one bincount per frame over pre-bucketed pixel values:
+                # vectorized via offsetting each frame's bins
+                bins = (sampled.astype(np.int64) * n_features) // 256
+                offs = (np.arange(len(idx))[:, None] * n_features)
+                hist = np.bincount(
+                    (bins + offs).ravel(),
+                    minlength=len(idx) * n_features
+                ).reshape(len(idx), n_features)
+                totals = hist.sum(axis=1, keepdims=True)
+                feats = np.divide(hist, totals, where=totals > 0,
+                                  out=np.zeros_like(hist, dtype=np.float64))
+                idx_out.append(idx)
+                feat_out.append([row for row in feats])
+            yield pd.DataFrame({id_col: pdf[id_col], "frame_idx": idx_out,
+                                "frame_features": feat_out})
+
+    id_type = dict(df.dtypes)[id_col]
+    return (df.select(id_col, payload_col)
+            .mapInPandas(extract,
+                         schema=f"`{id_col}` {id_type}, frame_idx array<int>, "
+                                "frame_features array<array<double>>"))

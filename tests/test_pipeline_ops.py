@@ -180,6 +180,27 @@ def test_multimodal_plumbing(spark):
     for r in au:
         assert au2[r["media_id"]] == r["rms"]   # deterministic
 
+    from python_hll_spark.operators.multimodal import (
+        deterministic_fake_video_decode, extract_video_features)
+    vf = extract_video_features(media, every_k=4).collect()
+    assert len(vf) == 10
+    for r in vf:
+        assert list(r["frame_idx"]) == [0, 4, 8, 12]
+        assert len(r["frame_features"]) == 4
+        for frame in r["frame_features"]:
+            assert len(frame) == 16
+            assert abs(sum(frame) - 1.0) < 1e-9
+    # per-frame features match a direct numpy histogram of the fake decode
+    import numpy as np
+    stack = deterministic_fake_video_decode(bytes([0] * 32))
+    h0, _ = np.histogram(stack[0], bins=16, range=(0, 256))
+    got0 = [r for r in vf if r["media_id"] == "m0"][0]["frame_features"][0]
+    assert got0 == list(h0 / h0.sum())
+    vf2 = {r["media_id"]: r["frame_features"] for r in
+           extract_video_features(media, every_k=4).collect()}
+    for r in vf:
+        assert vf2[r["media_id"]] == r["frame_features"]   # deterministic
+
 
 def test_connected_components(spark):
     from python_hll_spark.operators.dedup import connected_components
