@@ -974,6 +974,32 @@ def q_incremental_dedup_documents(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_session_stats_events(spark, sf_dir):
+    """Per-user sessionization of the event stream (30-min inactivity
+    gap): gaps-and-islands with ONE user-key shuffle, exactly replayed by
+    the SQL oracle.  Tie-safe: events sharing (user, ts) produce gap 0
+    under any tie order, so session assignment is order-insensitive."""
+    from python_hll_spark.operators.sessions import session_stats
+
+    ev = _read(spark, sf_dir, "events")
+    out = session_stats(ev, gap_minutes=30)
+    return out.select("user_id", F.col("session_idx").cast("long"),
+                      F.col("session_start").cast("string"),
+                      F.col("session_end").cast("string"), "n_events")
+
+
+def q_boilerplate_documents(spark, sf_dir):
+    """Cross-document duplicated n-gram spans (boilerplate detection):
+    per doc, the count and fraction of its 5-gram windows occurring in
+    >= 2 distinct docs.  Exactly SQL-expressible — Spark travels 8-byte
+    xxhash64 gram keys while the oracle uses the gram strings; results
+    agree absent 64-bit collisions (none at this corpus size)."""
+    from python_hll_spark.functions.text import boilerplate_ngram_stats
+
+    docs = _read(spark, sf_dir, "documents")
+    return boilerplate_ngram_stats(docs, n=5, min_docs=2)
+
+
 def q_winnowing_documents(spark, sf_dir):
     """Winnowing fingerprints, value-checked: the exact normalized k-gram
     count (SQL-exact), the fingerprint-count bound vs that count, and
@@ -1272,6 +1298,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dedup_documents": q_incremental_near_dedup_documents,
         "winnowing_documents": q_winnowing_documents,
+        "boilerplate_documents": q_boilerplate_documents,
+        "session_stats_events": q_session_stats_events,
         "token_profile_seqs": q_token_profile_seqs,
         "prepare_corpus_documents": q_prepare_corpus_documents,
         "media_features": q_media_features,
@@ -1461,6 +1489,53 @@ def oracle_sql() -> dict[str, str]:
         """,
         "near_dedup_documents": """
             SELECT doc_id, TRUE AS kept_or_neardup FROM documents
+        """,
+        "session_stats_events": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch(ts) - lag(epoch(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts) > 1800
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ), s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_idx
+                FROM o
+            )
+            SELECT user_id, session_idx::BIGINT AS session_idx,
+                   min(ts)::VARCHAR AS session_start,
+                   max(ts)::VARCHAR AS session_end,
+                   count(*)::BIGINT AS n_events
+            FROM s GROUP BY user_id, session_idx
+        """,
+        "boilerplate_documents": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       [array_to_string(ws[i:i+4], ' ')
+                        FOR i IN generate_series(1, greatest(len(ws) - 4, 0))] AS grams
+                FROM w
+            ), e AS (
+                SELECT doc_id, unnest(grams) AS s FROM g
+            ), d AS (
+                SELECT DISTINCT doc_id, s FROM e
+            ), common AS (
+                SELECT s FROM d GROUP BY s HAVING count(*) >= 2
+            ), cov AS (
+                SELECT doc_id, count(*) AS nc FROM e JOIN common USING (s)
+                GROUP BY doc_id
+            )
+            SELECT g.doc_id,
+                   len(grams)::INT AS n_windows,
+                   coalesce(nc, 0)::BIGINT AS n_common_windows,
+                   CASE WHEN len(grams) > 0
+                        THEN round(coalesce(nc, 0) * 1.0 / len(grams), 6)
+                        ELSE 0.0 END AS boilerplate_ratio
+            FROM g LEFT JOIN cov USING (doc_id)
         """,
         "winnowing_documents": """
             SELECT doc_id,

@@ -201,6 +201,52 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
                  F.round(F.avg("__lp"), 6).alias("mean_log10_prob")))
 
 
+def boilerplate_ngram_stats(df, n: int = 5, min_docs: int = 2,
+                            text_col: str = "text", id_col: str = "doc_id",
+                            cache_out: list | None = None):
+    """Cross-document boilerplate detection: per doc, how many of its word
+    n-gram windows also occur in at least ``min_docs`` distinct documents
+    (headers, footers, navigation chrome, license blurbs — the spans a
+    training corpus wants stripped even when whole-doc dedup keeps the
+    page).  Returns (id, n_windows, n_common_windows, boilerplate_ratio).
+
+    Scale shape: n-grams travel as 8-byte xxhash64 keys, never strings.
+    The per-doc gram arrays are computed ONCE (persisted narrow (id,
+    grams) projection — handle appended to ``cache_out``); the document-
+    frequency aggregation explodes per-doc-DISTINCT grams (map-side
+    combined), and the coverage join is an equi-join on the hash. Unlike
+    word frequency, the n-gram df-distribution has no Zipf head for
+    n >= 3 (a gram's count is bounded by the docs that truly share the
+    phrase), so no hot-set split is needed — the common-gram side is
+    corpus-dependent and stays a shuffle join rather than assuming
+    broadcastability."""
+    words = _norm_word_array(F.col(text_col))
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(1), F.size(words) - n + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.xxhash64(
+        F.concat_ws(" ", F.slice(words, i, n))))
+    g = df.select(F.col(id_col), grams.alias("__g")).persist()
+    if cache_out is not None:
+        cache_out.append(g)
+    occ = g.select(id_col, F.explode("__g").alias("__h"))
+    dfreq = (g.select(id_col, F.explode(F.array_distinct("__g")).alias("__h"))
+             .groupBy("__h").agg(F.count("*").alias("__nd")))
+    common = dfreq.where(F.col("__nd") >= min_docs).select("__h")
+    covered = (occ.join(common, "__h")
+               .groupBy(id_col).agg(F.count("*").alias("n_common_windows")))
+    sizes = g.select(id_col, F.size("__g").alias("n_windows"))
+    return (sizes.join(covered, id_col, "left")
+            .select(id_col, "n_windows",
+                    F.coalesce("n_common_windows", F.lit(0))
+                    .alias("n_common_windows"))
+            .withColumn("boilerplate_ratio",
+                        F.when(F.col("n_windows") > 0,
+                               F.round(F.col("n_common_windows")
+                                       / F.col("n_windows"), 6))
+                        .otherwise(F.lit(0.0))))
+
+
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 8,
                            window: int = 16) -> DataFrame:

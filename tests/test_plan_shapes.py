@@ -145,3 +145,48 @@ def test_unigram_logprob_single_corpus_agg(spark):
     out.collect()
     for c in caches:
         c.unpersist()
+
+
+def test_incremental_near_dedup_store_never_shuffles(spark, tmp_path):
+    """The 100 TB property of the incremental near-dedup store probe: the
+    store (the big object) is scanned once per frame and STREAMED into
+    BroadcastHashJoins whose build side is the batch — no Exchange may
+    sit between a store FileScan and its join."""
+    from python_hll_spark.operators.dedup import (incremental_near_dedup,
+                                                  minhash_signatures,
+                                                  near_store_read,
+                                                  near_store_write)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    store_path = str(tmp_path / "store")
+    near_store_write(
+        minhash_signatures(docs.where("doc_id % 3 != 0"), num_hashes=64, n=3),
+        store_path, bands=16)
+    sigs, bands = near_store_read(spark, store_path)
+    out = incremental_near_dedup(docs.where("doc_id % 3 = 0"), sigs, bands,
+                                 threshold=0.9, num_hashes=64, bands=16, n=3)
+    lines = _plan(out).splitlines()
+    # identify store scans by their read columns (the printed Location
+    # path is truncated): sigs scan reads `sig`, bands scan `band_key`
+    store_scans = [i for i, l in enumerate(lines)
+                   if re.search(r"FileScan parquet \[[^\]]*(sig|band_key)", l)]
+    assert len(store_scans) >= 2, "expected sigs + bands store scans"
+    for i in store_scans:
+        # walk ancestors (printed above at shallower indent): the nearest
+        # join must come before any Exchange
+        depth = len(lines[i]) - len(lines[i].lstrip(" :+-"))
+        joined = exchanged = False
+        for j in range(i - 1, -1, -1):
+            l = lines[j]
+            d = len(l) - len(l.lstrip(" :+-"))
+            if d >= depth:
+                continue
+            depth = d
+            if "Join" in l:
+                joined = True
+                assert "BroadcastHashJoin" in l, l
+                break
+            assert "Exchange" not in l, \
+                f"store rows shuffled before their join:\n{l}"
+        assert joined, "no join found above store scan"

@@ -157,3 +157,31 @@ def test_unigram_logprob_hot_path_is_broadcast(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "LeftAnti" in plan  # tail carve-out is the broadcast anti-join
+
+
+def test_boilerplate_ngram_stats(spark):
+    """Shared footer spans are detected exactly; unique docs read zero."""
+    from python_hll_spark.functions.text import boilerplate_ngram_stats
+
+    footer = "copyright two thousand twenty four all rights reserved"  # 8 words
+    rows = [
+        (1, "alpha beta gamma delta epsilon " + footer),   # 13 words
+        (2, "one two three four five six " + footer),      # 14 words
+        (3, "totally unique words nobody else ever wrote here at all"),
+        (4, "tiny doc"),                                   # < n words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    caches = []
+    got = {r["doc_id"]: r for r in
+           boilerplate_ngram_stats(df, n=5, min_docs=2,
+                                   cache_out=caches).collect()}
+    # doc1: 9 windows; the 4 windows fully inside the 8-word footer are
+    # shared with doc2 (footer starts at word 6 of 13 -> window starts
+    # 6..9 lie inside the footer)
+    assert got[1]["n_windows"] == 9 and got[1]["n_common_windows"] == 4
+    assert got[2]["n_windows"] == 10 and got[2]["n_common_windows"] == 4
+    assert got[3]["n_common_windows"] == 0
+    assert got[4]["n_windows"] == 0 and got[4]["boilerplate_ratio"] == 0.0
+    assert abs(got[1]["boilerplate_ratio"] - round(4 / 9, 6)) < 1e-9
+    for c in caches:
+        c.unpersist()
