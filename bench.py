@@ -216,6 +216,60 @@ def _near_dedup_worker(n_cores: int, n_docs: int) -> dict:
     return best
 
 
+def _incremental_worker(n_cores: int, store_docs: int,
+                        batch_docs: int) -> dict:
+    """The daily-crawl shape, timed: probe a BATCH of ``batch_docs`` new
+    docs against a persisted near-dup store built from ``store_docs``
+    corpus docs (store build is untimed — it is yesterday's job).  Walls
+    cover within-batch collapse + the broadcast store probe, i.e. exactly
+    what a daily refresh pays."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.operators.dedup import (
+        incremental_near_dedup_tokens, minhash_signatures_tokens,
+        near_store_read, near_store_write)
+    from python_hll_spark.plans.session import get_spark
+
+    cal_pre = _host_calibration()
+    spark = get_spark(f"bench-incr-{n_cores}", master=f"local[{n_cores}]",
+                      shuffle_partitions=max(32, n_cores))
+    spark.sparkContext.setLogLevel("ERROR")
+    df = spark.read.parquet(SEQS_CACHE).withColumn(
+        "doc_id", F.substring("doc_id", 5, 12).cast("long"))
+    store_src = df.where(F.col("doc_id") < store_docs)
+    batch = (df.where((F.col("doc_id") >= store_docs)
+                      & (F.col("doc_id") < store_docs + batch_docs))
+             .persist())
+    n_batch_tokens = int(batch.agg(F.sum("n_tok")).collect()[0][0])
+    tmp = tempfile.mkdtemp(prefix="incr_store_")
+    near_store_write(
+        minhash_signatures_tokens(store_src, num_hashes=64), tmp, bands=16)
+    sigs, bnds = near_store_read(spark, tmp)
+
+    walls, n_out = [], 0
+    for _ in range(2):
+        caches = []
+        t0 = time.time()
+        n_out = incremental_near_dedup_tokens(
+            batch, sigs, bnds, threshold=0.8, num_hashes=64, bands=16,
+            cache_out=caches).count()
+        walls.append(time.time() - t0)
+        for c in caches:
+            c.unpersist()
+    batch.unpersist()
+    spark.stop()
+    shutil.rmtree(tmp, ignore_errors=True)
+    wall = min(walls)
+    return {"cores": n_cores, "store_docs": store_docs,
+            "batch_docs": batch_docs, "n_batch_tokens": n_batch_tokens,
+            "wall_sec": round(wall, 2), "n_out": n_out,
+            "batch_tokens_per_sec": int(n_batch_tokens / wall),
+            "calibration_pre": cal_pre, "calibration": _host_calibration()}
+
+
 def _aux_worker(n_cores: int) -> dict:
     """Scan-speed micro-entries: murmur3 interop hashing over BENCH_DOCS
     doc_id strings (Arrow-buffer mapInArrow path) and SRP bucket
@@ -346,6 +400,10 @@ NEAR_DEDUP_SCALING_DOCS = int(os.environ.get(
 # probe (pre OR post) reads below this is a contended draw — retried, and
 # marked bus_contended if contention persists
 DRAM_HEALTHY_MELEMS = int(os.environ.get("SPARK_GRAFT_DRAM_HEALTHY", "200"))
+INCREMENTAL_STORE_DOCS = int(os.environ.get(
+    "SPARK_GRAFT_INCREMENTAL_STORE_DOCS", "2000000"))
+INCREMENTAL_BATCH_DOCS = int(os.environ.get(
+    "SPARK_GRAFT_INCREMENTAL_BATCH_DOCS", "100000"))
 BUS_RETRIES = int(os.environ.get("SPARK_GRAFT_BUS_RETRIES", "2"))
 BUS_RETRY_SLEEP = int(os.environ.get("SPARK_GRAFT_BUS_RETRY_SLEEP", "20"))
 
@@ -360,6 +418,11 @@ def main() -> None:
         return
     if len(sys.argv) > 2 and sys.argv[1] == "--aux-worker":
         print(json.dumps(_aux_worker(int(sys.argv[2]))))
+        return
+    if len(sys.argv) > 4 and sys.argv[1] == "--incremental-worker":
+        print(json.dumps(_incremental_worker(int(sys.argv[2]),
+                                             int(sys.argv[3]),
+                                             int(sys.argv[4]))))
         return
 
     total, per_query = run_headline()
@@ -434,6 +497,12 @@ def main() -> None:
     print(f"# murmur3 {aux['murmur3_strings_per_sec']:,} strings/s; "
           f"srp-bucket {aux['srp_vectors_per_sec']:,} vec/s", file=sys.stderr)
 
+    incr = _sub(["--incremental-worker", str(CPUS),
+                 str(INCREMENTAL_STORE_DOCS), str(INCREMENTAL_BATCH_DOCS)])
+    print(f"# incremental near-dedup: {incr['batch_docs']:,}-doc batch vs "
+          f"{incr['store_docs']:,}-doc store in {incr['wall_sec']}s "
+          f"({incr['batch_tokens_per_sec']:,} batch-tok/s)", file=sys.stderr)
+
     result = {
         "metric": "sketch-query wall time + token sketch-build throughput",
         "value": round(total, 3),
@@ -452,6 +521,7 @@ def main() -> None:
         "scaling_efficiency_2_to_8": eff(2, 8),
         "scaling_efficiency_8_to_32": eff(8, 32),
         "near_dedup": nd,
+        "incremental_near_dedup": incr,
         "aux": aux,
         "calibration": _host_calibration(),
     }

@@ -862,9 +862,37 @@ def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
     within-batch LSH and the store probe; its persist handle (plus the
     banding caches) land in ``cache_out`` when given, else live until the
     session releases them."""
+    sigs_all = minhash_signatures(new_df, text_col, n, num_hashes, id_col)
+    return _incremental_near_dedup_impl(new_df, sigs_all, store_sigs,
+                                        store_bands, threshold, bands,
+                                        id_col, cache_out)
+
+
+def incremental_near_dedup_tokens(new_df: DataFrame, store_sigs: DataFrame,
+                                  store_bands: DataFrame,
+                                  threshold: float = 0.8,
+                                  num_hashes: int = 128, bands: int = 32,
+                                  n: int = 3, tokens_col: str = "tokens",
+                                  id_col: str = "doc_id",
+                                  cache_out: list | None = None) -> DataFrame:
+    """``incremental_near_dedup`` over PRE-TOKENIZED docs (the input_hint
+    table shape): batch signatures come from the single-pass Arrow
+    n-gram kernel instead of the text tokenizer; store probe and
+    within-batch collapse are shared."""
+    sigs_all = minhash_signatures_tokens(new_df, tokens_col, n, num_hashes,
+                                         id_col)
+    return _incremental_near_dedup_impl(new_df, sigs_all, store_sigs,
+                                        store_bands, threshold, bands,
+                                        id_col, cache_out)
+
+
+def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
+                                 store_sigs: DataFrame,
+                                 store_bands: DataFrame, threshold: float,
+                                 bands: int, id_col: str,
+                                 cache_out: list | None) -> DataFrame:
     caches = cache_out if cache_out is not None else []
-    sigs_all = minhash_signatures(new_df, text_col, n, num_hashes,
-                                  id_col).persist()
+    sigs_all = sigs_all.persist()
     caches.append(sigs_all)
 
     # within-batch collapse (same plan as near_dedup, sharing sigs_all)

@@ -270,6 +270,25 @@ def dedup_stream(stream_df: DataFrame, text_col: str = "text",
     return fp_df.drop("__fp")
 
 
+def decontaminate_stream(stream_df: DataFrame, eval_df: DataFrame,
+                         text_col: str = "text") -> DataFrame:
+    """Streaming eval-set decontamination, exact tier: drop stream docs
+    whose normalized content fingerprint matches ANY eval doc — a
+    stream-static broadcast anti-join, stateless, so it composes with any
+    downstream streaming op (no foreachBatch needed).  For the NEAR tier
+    (stream docs near-duplicating eval docs) use ``near_dedup_stream``
+    with the eval set's signatures as a read-only store
+    (``append_store=False``) — near matching needs stream-side signatures
+    and per-pair scoring, which is inherently per-batch."""
+    from python_hll_spark.functions.text import doc_fingerprint
+
+    eval_fps = (eval_df.select(doc_fingerprint(F.col(text_col))
+                               .alias("__fp")).distinct())
+    return (stream_df.withColumn("__fp", doc_fingerprint(F.col(text_col)))
+            .join(F.broadcast(eval_fps), "__fp", "left_anti")
+            .drop("__fp"))
+
+
 def near_dedup_stream(stream_df: DataFrame, store_path: str,
                       sink_path: str | None = None, *,
                       threshold: float = 0.8, num_hashes: int = 128,

@@ -225,3 +225,31 @@ def test_incremental_near_dedup_empty_store(spark):
                                          threshold=0.8, num_hashes=64,
                                          bands=16, n=3).collect())
     assert kept == [1, 3]
+
+
+def test_incremental_near_dedup_tokens(spark):
+    """Pre-tokenized store probe: an exact token-array copy of a stored
+    doc is dropped; a fresh token doc survives."""
+    import numpy as np
+
+    from python_hll_spark.operators.dedup import (
+        _band_keys_frame, incremental_near_dedup_tokens,
+        minhash_signatures_tokens)
+
+    rng = np.random.default_rng(7)
+    stored = rng.integers(0, 50000, 200, dtype=np.int64).tolist()
+    fresh = rng.integers(60000, 90000, 200, dtype=np.int64).tolist()
+    corpus = spark.createDataFrame([(1, stored)],
+                                   "doc_id long, tokens array<bigint>")
+    sigs = minhash_signatures_tokens(corpus, num_hashes=64, n=3).persist()
+    bands = _band_keys_frame(sigs, 16)
+    batch = spark.createDataFrame(
+        [(10, stored[:190] + stored[190:]),   # exact copy -> drop
+         (11, fresh)],                        # fresh -> keep
+        "doc_id long, tokens array<bigint>")
+    kept = sorted(r["doc_id"] for r in
+                  incremental_near_dedup_tokens(batch, sigs, bands,
+                                                threshold=0.8, num_hashes=64,
+                                                bands=16, n=3).collect())
+    assert kept == [11], kept
+    sigs.unpersist()

@@ -156,3 +156,65 @@ def test_near_dedup_stream_across_microbatches(spark, tmp_path):
     store_ids = sorted(r["doc_id"] for r in sigs.select("doc_id").collect())
     assert store_ids == [1, 11, 21], store_ids
     assert bnds.where(F.col("doc_id") == 21).count() == 16
+
+
+def test_decontaminate_stream_exact(spark, tmp_path):
+    """Stream-static broadcast anti-join: eval-content docs never reach
+    the sink; normalization matches the batch tier."""
+    from python_hll_spark.streaming.stream import decontaminate_stream
+
+    eval_df = spark.createDataFrame(
+        [(900, "the secret eval question")], "doc_id long, text string")
+    docs = spark.createDataFrame(
+        [(1, "ordinary training text one"),
+         (2, "  The   SECRET eval QUESTION "),   # normalizes to eval -> drop
+         (3, "ordinary training text two")],
+        "doc_id long, text string")
+    src = str(tmp_path / "src")
+    docs.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    out = decontaminate_stream(stream, eval_df)
+    q = (out.writeStream.format("memory").queryName("decon_s")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    kept = sorted(r["doc_id"] for r in spark.sql("SELECT * FROM decon_s").collect())
+    assert kept == [1, 3]
+
+
+def test_near_dedup_stream_as_decontaminator(spark, tmp_path):
+    """NEAR-tier streaming decontamination = near_dedup_stream with the
+    eval signatures as a read-only store (append_store=False): a stream
+    doc near-duplicating an eval doc is dropped, and the store is NOT
+    grown by the stream."""
+    from python_hll_spark.operators.dedup import (minhash_signatures,
+                                                  near_store_read,
+                                                  near_store_write)
+    from python_hll_spark.streaming.stream import near_dedup_stream
+
+    eval_text = ("what is the airspeed velocity of an unladen swallow "
+                 "asked the keeper of the bridge of death " * 2)
+    eval_df = spark.createDataFrame([(900, eval_text)],
+                                    "doc_id long, text string")
+    store = str(tmp_path / "eval_store")
+    near_store_write(minhash_signatures(eval_df, num_hashes=64, n=3),
+                     store, bands=16)
+    docs = spark.createDataFrame(
+        [(1, eval_text + " tiny edit"),       # near-dup of eval -> drop
+         (2, "completely unrelated training document about gardening "
+             "tools shovels and rakes listed at length " * 2)],
+        "doc_id long, text string")
+    src = str(tmp_path / "src2")
+    docs.coalesce(1).write.parquet(src)
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    sink = str(tmp_path / "sink2")
+    q = (near_dedup_stream(stream, store, sink, threshold=0.8,
+                           num_hashes=64, bands=16, n=3, append_store=False)
+         .option("checkpointLocation", str(tmp_path / "chk2"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
+    assert kept == [2], kept
+    sigs, _ = near_store_read(spark, store)
+    assert sorted(r["doc_id"] for r in sigs.collect()) == [900]  # unchanged
