@@ -60,3 +60,44 @@ def test_session_window_stream(spark, tmp_path):
     assert sorted(by_user[1]) == [1, 2]
     assert sorted(by_user[2]) == [1, 2]
     assert by_user[3] == [1]
+
+
+def test_sessionize_matches_python_reference(spark):
+    """Randomized cross-check: session stats vs a pure-Python
+    gaps-and-islands reference over 60 users x random event times."""
+    import random
+
+    rng = random.Random(42)
+    rows = []
+    for u in range(60):
+        t = rng.randrange(0, 3600)
+        for _ in range(rng.randrange(1, 12)):
+            t += rng.randrange(0, 5400)      # gaps 0..90 min
+            rows.append((u, t))
+    df = (spark.createDataFrame(rows, "user_id long, epoch long")
+          .withColumn("ts", F.timestamp_seconds("epoch")).drop("epoch"))
+
+    # python reference
+    expected = {}
+    by_user = {}
+    for u, t in rows:
+        by_user.setdefault(u, []).append(t)
+    for u, ts in by_user.items():
+        ts.sort()
+        idx, prev = 0, None
+        for t in ts:
+            if prev is not None and t - prev > 1800:
+                idx += 1
+            key = (u, idx)
+            s = expected.setdefault(key, [t, t, 0])
+            s[0] = min(s[0], t)
+            s[1] = max(s[1], t)
+            s[2] += 1
+            prev = t
+
+    from python_hll_spark.operators.sessions import session_stats
+    got = {(r["user_id"], r["session_idx"]):
+           (int(r["session_start"].timestamp()),
+            int(r["session_end"].timestamp()), r["n_events"])
+           for r in session_stats(df, gap_minutes=30).collect()}
+    assert got == {k: tuple(v) for k, v in expected.items()}
