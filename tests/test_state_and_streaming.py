@@ -148,7 +148,8 @@ def test_near_dedup_stream_across_microbatches(spark, tmp_path):
                            num_hashes=64, bands=16, n=3)
          .option("checkpointLocation", str(tmp_path / "chk"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    q.awaitTermination(420)
+    assert not q.isActive, f"stream did not finish: {q.status}"
 
     kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert kept == [11, 21], kept
@@ -213,7 +214,8 @@ def test_near_dedup_stream_as_decontaminator(spark, tmp_path):
                            num_hashes=64, bands=16, n=3, append_store=False)
          .option("checkpointLocation", str(tmp_path / "chk2"))
          .trigger(availableNow=True).start())
-    q.awaitTermination(180)
+    q.awaitTermination(420)
+    assert not q.isActive, f"stream did not finish: {q.status}"
     kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert kept == [2], kept
     sigs, _ = near_store_read(spark, store)
