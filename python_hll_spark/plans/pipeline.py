@@ -132,3 +132,57 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
                     metrics.get("rows_after_near_dedup",
                                 metrics["rows_after_exact_dedup"])))
     return clean, metrics
+
+
+def refresh_corpus(new_batch: DataFrame, fp_store: DataFrame,
+                   near_sigs: DataFrame, near_bands: DataFrame,
+                   threshold: float = 0.9, num_hashes: int = 64,
+                   bands: int = 16, n: int = 3, text_col: str = "text",
+                   id_col: str = "doc_id"):
+    """The DAILY-REFRESH composition: fold a new crawl batch into an
+    existing corpus without re-touching the corpus itself.
+
+        exact tier:  incremental_dedup vs the persisted fingerprint store
+                     (8-byte anti-join — removes exact re-crawls first so
+                     the near tier never signatures them)
+        near tier:   incremental_near_dedup vs the persisted signature/
+                     band-key store (within-batch collapse + broadcast
+                     store probe)
+
+    Returns ``(kept, metrics, new_fps, new_sigs)``: the surviving rows,
+    stage row-counts, and the two frames to APPEND to the stores
+    (``fingerprint_frame`` output and ``minhash_signatures`` output of
+    the survivors — write the latter with ``near_store_write(...,
+    mode="append")``).  Store parameters (num_hashes/bands/n) must match
+    the near store's build.
+
+    ``kept`` is returned LINEAGE-TRUNCATED (eager ``localCheckpoint``),
+    not merely persisted — this is load-bearing: ``kept``'s lineage reads
+    the store parquet, and appending survivors back to that store
+    triggers Spark's recache-by-path, which would silently RE-EVALUATE
+    any merely-cached derivative against the grown store (each survivor
+    then matches its own just-appended signature, and ``new_fps``/
+    ``new_sigs`` evaporate).  With the checkpoint, the returned frames
+    are immune to subsequent store writes."""
+    from python_hll_spark.operators.dedup import (fingerprint_frame,
+                                                  incremental_dedup,
+                                                  incremental_near_dedup,
+                                                  minhash_signatures)
+
+    metrics = {"rows_in": new_batch.count()}
+    exact_kept = incremental_dedup(new_batch, fp_store, text_col, id_col) \
+        .persist()
+    metrics["rows_after_exact_tier"] = exact_kept.count()
+    caches: list = []
+    kept = incremental_near_dedup(exact_kept, near_sigs, near_bands,
+                                  threshold=threshold, num_hashes=num_hashes,
+                                  bands=bands, n=n, text_col=text_col,
+                                  id_col=id_col, cache_out=caches) \
+        .localCheckpoint()
+    metrics["rows_out"] = kept.count()
+    exact_kept.unpersist()
+    for c in caches:
+        c.unpersist()
+    new_fps = fingerprint_frame(kept, text_col)
+    new_sigs = minhash_signatures(kept, text_col, n, num_hashes, id_col)
+    return kept, metrics, new_fps, new_sigs

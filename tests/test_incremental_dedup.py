@@ -253,3 +253,51 @@ def test_incremental_near_dedup_tokens(spark):
                                                 bands=16, n=3).collect())
     assert kept == [11], kept
     sigs.unpersist()
+
+
+def test_refresh_corpus_two_tiers_and_store_appends(spark, tmp_path):
+    """Daily refresh end to end: exact re-crawls die at the fingerprint
+    tier, near-copies at the signature tier, fresh docs survive, and the
+    returned append frames grow both stores correctly for day 2."""
+    from python_hll_spark.operators.dedup import (fingerprint_frame,
+                                                  minhash_signatures,
+                                                  near_store_read,
+                                                  near_store_write)
+    from python_hll_spark.plans.pipeline import refresh_corpus
+
+    corpus = _near_docs(spark)                       # docs 1..5
+    fp_store = fingerprint_frame(corpus)
+    near_path = str(tmp_path / "near")
+    near_store_write(minhash_signatures(corpus, num_hashes=64, n=3),
+                     near_path, bands=16)
+    sigs, bnds = near_store_read(spark, near_path)
+
+    stored_text = corpus.where("doc_id = 2").collect()[0]["text"]
+    fresh = ("a brand new crawl page discussing kiln temperatures and "
+             "glaze chemistry at considerable repetitive length " * 2)
+    batch = spark.createDataFrame([
+        (101, "  " + stored_text.upper() + "  "),  # exact tier (normalized)
+        (102, stored_text + " slight edit"),       # near tier
+        (103, fresh),                              # survives
+    ], "doc_id long, text string")
+
+    kept, metrics, new_fps, new_sigs = refresh_corpus(
+        batch, fp_store, sigs, bnds, threshold=0.8, num_hashes=64,
+        bands=16, n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [103]
+    assert metrics == {"rows_in": 3, "rows_after_exact_tier": 2,
+                       "rows_out": 1}
+    # append both stores; a day-2 re-crawl of doc 103 must now die
+    near_store_write(new_sigs, near_path, bands=16, mode="append")
+    fp_store2 = fp_store.unionByName(new_fps)
+    sigs2, bnds2 = near_store_read(spark, near_path)
+    day2 = spark.createDataFrame(
+        [(201, fresh), (202, fresh + " reworded a bit")],
+        "doc_id long, text string")
+    kept2, m2, _, _ = refresh_corpus(day2, fp_store2, sigs2, bnds2,
+                                     threshold=0.8, num_hashes=64,
+                                     bands=16, n=3)
+    assert m2["rows_after_exact_tier"] == 1      # 201 died on fingerprint
+    assert m2["rows_out"] == 0                   # 202 died on near tier
+    kept.unpersist()
+    kept2.unpersist()
