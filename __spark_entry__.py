@@ -974,6 +974,60 @@ def q_incremental_dedup_documents(spark, sf_dir):
             .orderBy("source"))
 
 
+def q_refresh_corpus_documents(spark, sf_dir):
+    """Full DAILY-REFRESH composition (``plans.pipeline.refresh_corpus``):
+    exact fingerprint tier then near signature tier against persisted
+    stores, plus the store-append frames.  Store = docs with
+    doc_id % 3 != 0; batch = the remaining third PLUS a verbatim copy of
+    every store doc at id + 1,000,000.  Value-checked via:
+    - rows_in / rows_after_exact_tier: exact, SQL-expressible (the exact
+      tier is min-id-rep-per-normalized-text + anti-join vs store norms —
+      every injected copy dies here, so the near tier never sees them);
+    - injected_kept == 0 (no verbatim re-crawl survives either tier);
+    - unaudited_drops == 0 (any dropped batch original must have exact
+      3-shingle Jaccard >= 0.5 vs some corpus doc — the MinHash
+      false-positive audit used by near_dedup_documents);
+    - near_ok: 0 < rows_out <= rows_after_exact_tier (the hash-seeded near
+      count itself, bounded);
+    - fps_ok / sigs_ok: the returned store-append frames cover exactly the
+      survivors — the regression guard for the recache-by-path lineage
+      hazard refresh_corpus exists to prevent (see its docstring)."""
+    from python_hll_spark.operators.dedup import (_band_keys_frame,
+                                                  fingerprint_frame,
+                                                  minhash_signatures)
+    from python_hll_spark.plans.pipeline import refresh_corpus
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    store_docs = docs.where(F.col("doc_id") % 3 != 0)
+    originals = docs.where(F.col("doc_id") % 3 == 0)
+    injected = store_docs.select((F.col("doc_id") + 1000000).alias("doc_id"),
+                                 "text")
+    batch = originals.unionByName(injected)
+
+    fp_store = fingerprint_frame(store_docs)
+    sigs = minhash_signatures(store_docs, num_hashes=64, n=3).persist()
+    bands = _band_keys_frame(sigs, 16)
+    kept, m, new_fps, new_sigs = refresh_corpus(
+        batch, fp_store, sigs, bands, threshold=0.9, num_hashes=64,
+        bands=16, n=3)
+    kept_ids = kept.select("doc_id")
+    injected_kept = kept_ids.where(F.col("doc_id") >= 1000000).count()
+    dropped_orig = originals.select("doc_id").exceptAll(
+        kept_ids.where(F.col("doc_id") < 1000000))
+    unaudited = _neardup_audit(docs, dropped_orig) \
+        .where(~F.col("__near")).count()
+    fps_ok = new_fps.count() == m["rows_out"]
+    sigs_ok = new_sigs.select("doc_id").distinct().count() == m["rows_out"]
+    sigs.unpersist()
+    kept.unpersist()
+    return spark.createDataFrame(
+        [(m["rows_in"], m["rows_after_exact_tier"], injected_kept, unaudited,
+          0 < m["rows_out"] <= m["rows_after_exact_tier"], fps_ok, sigs_ok)],
+        "rows_in bigint, rows_after_exact_tier bigint, injected_kept bigint, "
+        "unaudited_drops bigint, near_ok boolean, fps_ok boolean, "
+        "sigs_ok boolean")
+
+
 def q_session_stats_events(spark, sf_dir):
     """Per-user sessionization of the event stream (30-min inactivity
     gap): gaps-and-islands with ONE user-key shuffle, exactly replayed by
@@ -1297,6 +1351,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hash_split_documents": q_hash_split_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dedup_documents": q_incremental_near_dedup_documents,
+        "refresh_corpus_documents": q_refresh_corpus_documents,
         "winnowing_documents": q_winnowing_documents,
         "boilerplate_documents": q_boilerplate_documents,
         "session_stats_events": q_session_stats_events,
@@ -1406,6 +1461,31 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id + 1000000 AS doc_id, TRUE AS ok
             FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "refresh_corpus_documents": """
+            WITH store AS (
+                SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents WHERE doc_id % 3 <> 0
+            ),
+            batch AS (
+                SELECT doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents WHERE doc_id % 3 = 0
+                UNION ALL
+                SELECT doc_id + 1000000 AS doc_id,
+                       regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS norm
+                FROM documents WHERE doc_id % 3 <> 0
+            ),
+            rep AS (SELECT min(doc_id) AS doc_id, norm FROM batch GROUP BY norm),
+            kept AS (
+                SELECT r.doc_id FROM rep r
+                WHERE NOT EXISTS (SELECT 1 FROM store s WHERE s.norm = r.norm)
+            )
+            SELECT (SELECT count(*) FROM batch)::BIGINT AS rows_in,
+                   (SELECT count(*) FROM kept)::BIGINT AS rows_after_exact_tier,
+                   0::BIGINT AS injected_kept,
+                   0::BIGINT AS unaudited_drops,
+                   TRUE AS near_ok, TRUE AS fps_ok, TRUE AS sigs_ok
         """,
         "incremental_dedup_documents": """
             WITH existing AS (
