@@ -301,3 +301,43 @@ def test_refresh_corpus_two_tiers_and_store_appends(spark, tmp_path):
     assert m2["rows_out"] == 0                   # 202 died on near tier
     kept.unpersist()
     kept2.unpersist()
+
+
+def test_refresh_corpus_edge_shapes(spark):
+    """Operational edges of the daily refresh: a day with no new crawl
+    (empty batch), day zero (empty stores), and a batch of docs shorter
+    than the shingle size — all must complete with sane metrics, not
+    crash in the Arrow kernels or the empty-pairs CC."""
+    from python_hll_spark.operators.dedup import (_band_keys_frame,
+                                                  fingerprint_frame,
+                                                  minhash_signatures)
+    from python_hll_spark.plans.pipeline import refresh_corpus
+
+    corpus = _near_docs(spark)
+    empty = corpus.where("doc_id < 0")
+    fp = fingerprint_frame(corpus)
+    sigs = minhash_signatures(corpus, num_hashes=64, n=3).persist()
+    bands = _band_keys_frame(sigs, 16)
+
+    kept, m, nf, ns = refresh_corpus(empty, fp, sigs, bands,
+                                     threshold=0.9, num_hashes=64,
+                                     bands=16, n=3)
+    assert m == {"rows_in": 0, "rows_after_exact_tier": 0, "rows_out": 0}
+    assert nf.count() == 0 and ns.count() == 0
+
+    esigs = minhash_signatures(empty, num_hashes=64, n=3).persist()
+    kept, m, nf, ns = refresh_corpus(
+        corpus, fingerprint_frame(empty), esigs,
+        _band_keys_frame(esigs, 16), threshold=0.9, num_hashes=64,
+        bands=16, n=3)
+    assert m["rows_in"] == 5 and m["rows_out"] == m["rows_after_exact_tier"]
+    assert nf.count() == m["rows_out"]
+    assert ns.select("doc_id").distinct().count() == m["rows_out"]
+
+    tiny = spark.createDataFrame([(10, "hi"), (11, "yo")],
+                                 "doc_id long, text string")
+    kept, m, _, _ = refresh_corpus(tiny, fp, sigs, bands, threshold=0.9,
+                                   num_hashes=64, bands=16, n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [10, 11]
+    sigs.unpersist()
+    esigs.unpersist()
