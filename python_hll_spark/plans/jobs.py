@@ -99,6 +99,53 @@ def _prepare_corpus(args) -> None:
     spark.stop()
 
 
+def _refresh_corpus(args) -> None:
+    """DAILY-REFRESH as a spark-submit job: fold a new crawl batch into an
+    existing corpus via ``plans.pipeline.refresh_corpus`` (exact
+    fingerprint tier, then near signature tier against the persisted
+    stores), write the survivors to ``--output``, and append their
+    fingerprints/signatures back to both stores so tomorrow's batch
+    dedups against today's survivors.  Missing stores bootstrap empty
+    (day zero).  Metrics go to STDOUT as one JSON line; ``rows_out``
+    stays the LAST line (same contract as prepare-corpus)."""
+    from pyspark.sql.utils import AnalysisException
+
+    from python_hll_spark.operators.dedup import (near_store_init,
+                                                  near_store_read,
+                                                  near_store_write)
+    from python_hll_spark.plans.pipeline import refresh_corpus
+
+    spark = get_spark("refresh-corpus")
+    batch = spark.read.parquet(args.input)
+    id_field = dict((f.name, f.dataType.simpleString())
+                    for f in batch.schema.fields)[args.id_col]
+    try:
+        fp_store = spark.read.parquet(args.fp_store)
+    except AnalysisException:
+        fp_store = spark.createDataFrame([], "fp bigint")  # day zero
+    try:
+        sigs, band_keys = near_store_read(spark, args.near_store)
+    except AnalysisException:
+        near_store_init(spark, args.near_store, id_type=id_field)
+        sigs, band_keys = near_store_read(spark, args.near_store)
+
+    kept, metrics, new_fps, new_sigs = refresh_corpus(
+        batch, fp_store, sigs, band_keys, threshold=args.threshold,
+        num_hashes=args.num_hashes, bands=args.bands, n=args.ngram,
+        text_col=args.text_col, id_col=args.id_col)
+    kept.write.mode("overwrite").parquet(args.output)
+    if not args.skip_store_append:
+        # safe w.r.t. recache-by-path: refresh_corpus localCheckpoints the
+        # survivors, so these frames no longer read the store paths
+        new_fps.write.mode("append").parquet(args.fp_store)
+        near_store_write(new_sigs, args.near_store, bands=args.bands,
+                         id_col=args.id_col, mode="append")
+    kept.unpersist()
+    print(json.dumps({"metrics": metrics}, default=str))
+    print(json.dumps({"rows_out": metrics["rows_out"]}))
+    spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="python_hll_spark.plans.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -137,6 +184,26 @@ def main(argv=None) -> None:
     cp.add_argument("--mixture-weights", default="",
                     help="comma list of group=weight, e.g. web=1,code=2")
     cp.set_defaults(fn=_prepare_corpus)
+
+    rf = sub.add_parser("refresh-corpus",
+                        help="daily refresh: dedup a new batch against "
+                             "persisted fingerprint + near-dup stores, "
+                             "append survivors back")
+    rf.add_argument("--input", required=True, help="new batch parquet")
+    rf.add_argument("--output", required=True, help="survivors parquet")
+    rf.add_argument("--fp-store", required=True,
+                    help="fingerprint store parquet (bootstraps if absent)")
+    rf.add_argument("--near-store", required=True,
+                    help="near_store_write path (bootstraps if absent)")
+    rf.add_argument("--threshold", type=float, default=0.9)
+    rf.add_argument("--num-hashes", type=int, default=128)
+    rf.add_argument("--bands", type=int, default=32)
+    rf.add_argument("--ngram", type=int, default=3)
+    rf.add_argument("--text-col", default="text")
+    rf.add_argument("--id-col", default="doc_id")
+    rf.add_argument("--skip-store-append", action="store_true",
+                    help="dry run: don't grow the stores")
+    rf.set_defaults(fn=_refresh_corpus)
 
     args = p.parse_args(argv)
     args.fn(args)

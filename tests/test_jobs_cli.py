@@ -87,3 +87,59 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     contaminated = {r["doc_id"] for r in docs.where("doc_id % 25 = 0").collect()}
     kept = {r["doc_id"] for r in got.select("doc_id").collect()}
     assert not (kept & contaminated)
+
+
+@pytest.mark.slow
+def test_spark_submit_refresh_corpus(tmp_path, spark):
+    """Two daily refreshes via the real spark-submit flow: day 0
+    bootstraps both stores empty and keeps everything; day 1's re-crawls
+    die (exact copy at the fingerprint tier, near copy at the signature
+    tier) while a fresh doc survives and grows the stores."""
+    import shutil
+    if shutil.which(SPARK_SUBMIT) is None:
+        pytest.skip("spark-submit not on PATH")
+
+    base = ("the quick brown fox jumps over the lazy dog while the band "
+            "plays on and the crowd cheers loudly into the night air ")
+    other = ("completely different subject matter involving ceramics and "
+             "kiln temperatures with glaze chemistry at length " * 2)
+    fresh = ("a third unrelated page on tidal patterns and lunar cycles "
+             "observed across coastal measurement stations " * 2)
+    day0 = str(tmp_path / "day0")
+    spark.createDataFrame([(1, base * 2), (2, other)],
+                          "doc_id long, text string").write.parquet(day0)
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame([
+        (101, "  " + (base * 2).upper()),     # exact tier (normalized)
+        (102, base * 2 + " tiny edit"),       # near tier
+        (103, fresh),                         # survives
+    ], "doc_id long, text string").write.parquet(day1)
+
+    zip_path = _make_pyfiles_zip(tmp_path)
+    job = os.path.join(REPO, "python_hll_spark", "plans", "jobs.py")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    fp_store = str(tmp_path / "fp_store")
+    near_store = str(tmp_path / "near_store")
+
+    def run(inp, out):
+        res = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path,
+             job, "refresh-corpus", "--input", inp, "--output", out,
+             "--fp-store", fp_store, "--near-store", near_store,
+             "--threshold", "0.8", "--num-hashes", "64", "--bands", "16"],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=str(tmp_path))
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    assert run(day0, str(tmp_path / "out0"))["rows_out"] == 2
+    assert run(day1, str(tmp_path / "out1"))["rows_out"] == 1
+    kept1 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out1")).collect()}
+    assert kept1 == {103}
+    # stores grew by exactly the survivor
+    assert spark.read.parquet(fp_store).count() == 3
+    assert (spark.read.parquet(near_store + "/sigs")
+            .select("doc_id").distinct().count() == 3)
