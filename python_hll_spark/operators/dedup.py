@@ -52,9 +52,34 @@ def incremental_dedup(new_df: DataFrame, seen_fps: DataFrame,
     ``fingerprint_frame(kept_batch)``.
 
     Returns the surviving rows of ``new_df`` (all original columns)."""
-    fp = doc_fingerprint(F.col(text_col)).alias("__fp")
+    return _incremental_dedup_impl(
+        new_df, seen_fps, doc_fingerprint(F.col(text_col)), id_col)
+
+
+def fingerprint_frame_tokens(df: DataFrame,
+                             tokens_col: str = "tokens") -> DataFrame:
+    """(fp) store frame for PRE-TOKENIZED docs (the input_hint table
+    shape): xxhash64 of the token array — order-sensitive, so equality is
+    exactly the per-row token-array-equality invariant."""
+    return (df.select(F.xxhash64(F.col(tokens_col)).alias("fp"))
+            .distinct())
+
+
+def incremental_dedup_tokens(new_df: DataFrame, seen_fps: DataFrame,
+                             tokens_col: str = "tokens",
+                             id_col: str = "doc_id") -> DataFrame:
+    """``incremental_dedup`` over PRE-TOKENIZED docs: the exact tier keys
+    on xxhash64 of the token array (see ``fingerprint_frame_tokens``);
+    plan identical — batch collapses to one row per fingerprint, then an
+    8-byte-key anti-join against the store."""
+    return _incremental_dedup_impl(
+        new_df, seen_fps, F.xxhash64(F.col(tokens_col)), id_col)
+
+
+def _incremental_dedup_impl(new_df: DataFrame, seen_fps: DataFrame,
+                            fp_expr, id_col: str) -> DataFrame:
     batch_rep = (new_df
-                 .select(F.col(id_col), fp)
+                 .select(F.col(id_col), fp_expr.alias("__fp"))
                  .groupBy("__fp")
                  .agg(F.min(id_col).alias(id_col)))
     fresh = batch_rep.join(

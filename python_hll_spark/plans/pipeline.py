@@ -169,20 +169,55 @@ def refresh_corpus(new_batch: DataFrame, fp_store: DataFrame,
                                                   incremental_near_dedup,
                                                   minhash_signatures)
 
+    return _refresh_impl(
+        new_batch, fp_store, near_sigs, near_bands,
+        exact_fn=lambda df, fps: incremental_dedup(df, fps, text_col, id_col),
+        near_fn=lambda df, caches: incremental_near_dedup(
+            df, near_sigs, near_bands, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, n=n, text_col=text_col,
+            id_col=id_col, cache_out=caches),
+        fps_fn=lambda df: fingerprint_frame(df, text_col),
+        sigs_fn=lambda df: minhash_signatures(df, text_col, n, num_hashes,
+                                              id_col))
+
+
+def refresh_corpus_tokens(new_batch: DataFrame, fp_store: DataFrame,
+                          near_sigs: DataFrame, near_bands: DataFrame,
+                          threshold: float = 0.9, num_hashes: int = 64,
+                          bands: int = 16, n: int = 3,
+                          tokens_col: str = "tokens",
+                          id_col: str = "doc_id"):
+    """``refresh_corpus`` over PRE-TOKENIZED docs (the input_hint table
+    shape): the exact tier fingerprints the token array (xxhash64 — the
+    per-row token-array-equality invariant) and the near tier signatures
+    via the single-pass Arrow n-gram kernel.  Same return contract and
+    the same load-bearing ``localCheckpoint`` (see ``refresh_corpus``)."""
+    from python_hll_spark.operators.dedup import (
+        fingerprint_frame_tokens, incremental_dedup_tokens,
+        incremental_near_dedup_tokens, minhash_signatures_tokens)
+
+    return _refresh_impl(
+        new_batch, fp_store, near_sigs, near_bands,
+        exact_fn=lambda df, fps: incremental_dedup_tokens(df, fps,
+                                                          tokens_col, id_col),
+        near_fn=lambda df, caches: incremental_near_dedup_tokens(
+            df, near_sigs, near_bands, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, n=n, tokens_col=tokens_col,
+            id_col=id_col, cache_out=caches),
+        fps_fn=lambda df: fingerprint_frame_tokens(df, tokens_col),
+        sigs_fn=lambda df: minhash_signatures_tokens(df, tokens_col, n,
+                                                     num_hashes, id_col))
+
+
+def _refresh_impl(new_batch, fp_store, near_sigs, near_bands,
+                  exact_fn, near_fn, fps_fn, sigs_fn):
     metrics = {"rows_in": new_batch.count()}
-    exact_kept = incremental_dedup(new_batch, fp_store, text_col, id_col) \
-        .persist()
+    exact_kept = exact_fn(new_batch, fp_store).persist()
     metrics["rows_after_exact_tier"] = exact_kept.count()
     caches: list = []
-    kept = incremental_near_dedup(exact_kept, near_sigs, near_bands,
-                                  threshold=threshold, num_hashes=num_hashes,
-                                  bands=bands, n=n, text_col=text_col,
-                                  id_col=id_col, cache_out=caches) \
-        .localCheckpoint()
+    kept = near_fn(exact_kept, caches).localCheckpoint()
     metrics["rows_out"] = kept.count()
     exact_kept.unpersist()
     for c in caches:
         c.unpersist()
-    new_fps = fingerprint_frame(kept, text_col)
-    new_sigs = minhash_signatures(kept, text_col, n, num_hashes, id_col)
-    return kept, metrics, new_fps, new_sigs
+    return kept, metrics, fps_fn(kept), sigs_fn(kept)

@@ -341,3 +341,53 @@ def test_refresh_corpus_edge_shapes(spark):
     assert sorted(r["doc_id"] for r in kept.collect()) == [10, 11]
     sigs.unpersist()
     esigs.unpersist()
+
+
+def test_refresh_corpus_tokens_two_tiers(spark):
+    """Tokens-path daily refresh (the input_hint table shape): an exact
+    token-array re-crawl dies at the fingerprint tier, a near copy at
+    the signature tier, a fresh sequence survives and its append frames
+    cover exactly the survivors."""
+    from python_hll_spark.operators.dedup import (_band_keys_frame,
+                                                  fingerprint_frame_tokens,
+                                                  minhash_signatures_tokens)
+    from python_hll_spark.plans.pipeline import refresh_corpus_tokens
+
+    base = list(range(200))
+    other = list(range(1000, 1160))
+    corpus = spark.createDataFrame([(1, base), (2, other)],
+                                   "doc_id long, tokens array<int>")
+    fp = fingerprint_frame_tokens(corpus)
+    sigs = minhash_signatures_tokens(corpus, num_hashes=64, n=3).persist()
+    bands = _band_keys_frame(sigs, 16)
+
+    batch = spark.createDataFrame([
+        (101, base),                               # exact tier
+        (102, base + [7, 8, 9]),                   # near tier (J ~ 0.985)
+        (103, [5000 + 3 * i for i in range(150)]),  # survives
+    ], "doc_id long, tokens array<int>")
+    kept, m, nf, ns = refresh_corpus_tokens(batch, fp, sigs, bands,
+                                            threshold=0.8, num_hashes=64,
+                                            bands=16, n=3)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [103]
+    assert m == {"rows_in": 3, "rows_after_exact_tier": 2, "rows_out": 1}
+    assert nf.count() == 1
+    assert ns.select("doc_id").distinct().count() == 1
+    sigs.unpersist()
+    kept.unpersist()
+
+
+def test_incremental_dedup_tokens_semantics(spark):
+    """Tokens exact tier: order-sensitive array equality — a permuted
+    sequence is NOT an exact dup; a verbatim one is."""
+    from python_hll_spark.operators.dedup import (fingerprint_frame_tokens,
+                                                  incremental_dedup_tokens)
+
+    store = spark.createDataFrame([(1, [1, 2, 3, 4])],
+                                  "doc_id long, tokens array<int>")
+    batch = spark.createDataFrame(
+        [(10, [1, 2, 3, 4]), (11, [4, 3, 2, 1]), (12, [1, 2, 3, 4]),
+         (13, [9, 9])],
+        "doc_id long, tokens array<int>")
+    kept = incremental_dedup_tokens(batch, fingerprint_frame_tokens(store))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [11, 13]
