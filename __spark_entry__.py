@@ -1028,6 +1028,59 @@ def q_refresh_corpus_documents(spark, sf_dir):
         "sigs_ok boolean")
 
 
+def q_refresh_corpus_seqs(spark, sf_dir):
+    """Tokens-path daily refresh over the input_hint table shape
+    (synthesized deterministically — sf-independent, so the oracle pins
+    golden literals like seqs_ndv_tokens_by_source).  Store = seqs docs
+    with xxhash64(doc_id) % 6 != 0 (of 360); batch = the remaining sixth
+    (fresh) + verbatim token-array copies of part of the store ('xa-'
+    ids, MUST die at the exact tier: array fingerprints match) + near
+    copies of long store docs with 3 tokens appended ('xb-' ids, MUST
+    die at the near tier: 3-gram Jaccard ~ 0.98 >> 0.8).  fps_ok/sigs_ok
+    assert the store-append frames cover exactly the survivors."""
+    from python_hll_spark.operators.dedup import (_band_keys_frame,
+                                                  fingerprint_frame_tokens,
+                                                  minhash_signatures_tokens)
+    from python_hll_spark.plans.pipeline import refresh_corpus_tokens
+    from python_hll_spark.sources.seqs import seqs_table
+
+    docs = seqs_table(spark, 360, partitions=8).persist()
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(6))
+    store_docs = docs.where(bucket != 0)
+    fresh = docs.where(bucket == 0)
+    exact_inj = (store_docs
+                 .where(F.pmod(F.xxhash64("doc_id", F.lit(1)), F.lit(5)) == 0)
+                 .select(F.concat(F.lit("xa-"), "doc_id").alias("doc_id"),
+                         "tokens", "n_tok", "source"))
+    near_inj = (store_docs.where(F.col("n_tok") >= 128)
+                .select(F.concat(F.lit("xb-"), "doc_id").alias("doc_id"),
+                        F.concat("tokens", F.array(F.lit(1), F.lit(2),
+                                                   F.lit(3))).alias("tokens"),
+                        (F.col("n_tok") + 3).alias("n_tok"), "source"))
+    batch = fresh.unionByName(exact_inj).unionByName(near_inj)
+
+    fp_store = fingerprint_frame_tokens(store_docs)
+    sigs = minhash_signatures_tokens(store_docs, num_hashes=64, n=3).persist()
+    bands = _band_keys_frame(sigs, 16)
+    kept, m, new_fps, new_sigs = refresh_corpus_tokens(
+        batch, fp_store, sigs, bands, threshold=0.8, num_hashes=64,
+        bands=16, n=3)
+    kept_ids = kept.select("doc_id")
+    exact_kept = kept_ids.where(F.col("doc_id").startswith("xa-")).count()
+    near_kept = kept_ids.where(F.col("doc_id").startswith("xb-")).count()
+    fps_ok = new_fps.count() == m["rows_out"]
+    sigs_ok = new_sigs.select("doc_id").distinct().count() == m["rows_out"]
+    sigs.unpersist()
+    docs.unpersist()
+    kept.unpersist()
+    return spark.createDataFrame(
+        [(m["rows_in"], m["rows_after_exact_tier"], exact_kept, near_kept,
+          0 < m["rows_out"] <= m["rows_after_exact_tier"], fps_ok, sigs_ok)],
+        "rows_in bigint, rows_after_exact_tier bigint, "
+        "exact_injected_kept bigint, near_injected_kept bigint, "
+        "near_ok boolean, fps_ok boolean, sigs_ok boolean")
+
+
 def q_session_stats_events(spark, sf_dir):
     """Per-user sessionization of the event stream (30-min inactivity
     gap): gaps-and-islands with ONE user-key shuffle, exactly replayed by
@@ -1352,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dedup_documents": q_incremental_near_dedup_documents,
         "refresh_corpus_documents": q_refresh_corpus_documents,
+        "refresh_corpus_seqs": q_refresh_corpus_seqs,
         "winnowing_documents": q_winnowing_documents,
         "boilerplate_documents": q_boilerplate_documents,
         "session_stats_events": q_session_stats_events,
@@ -1461,6 +1515,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT doc_id + 1000000 AS doc_id, TRUE AS ok
             FROM documents WHERE doc_id % 3 <> 0
+        """,
+        "refresh_corpus_seqs": """
+            -- golden values: seqs_table(360) split is deterministic and
+            -- sf-independent; every injected copy must die in its tier
+            SELECT CAST(344 AS BIGINT) AS rows_in,
+                   CAST(292 AS BIGINT) AS rows_after_exact_tier,
+                   CAST(0 AS BIGINT) AS exact_injected_kept,
+                   CAST(0 AS BIGINT) AS near_injected_kept,
+                   TRUE AS near_ok, TRUE AS fps_ok, TRUE AS sigs_ok
         """,
         "refresh_corpus_documents": """
             WITH store AS (
