@@ -338,10 +338,20 @@ def near_dedup_stream(stream_df: DataFrame, store_path: str,
             elif sink_path is not None:
                 kept.write.mode("append").parquet(sink_path)
             if append_store:
-                near_store_write(
-                    minhash_signatures(kept, text_col, n, num_hashes,
-                                       id_col),
-                    store_path, bands=bands, id_col=id_col, mode="append")
+                # localCheckpoint before appending: kept's lineage reads
+                # the store parquet, and near_store_write's TWO appends
+                # (sigs, then derived band keys) would otherwise
+                # re-evaluate the signature frame through a cache entry
+                # that Spark's recache-by-path may have invalidated after
+                # the first append — against a store that now contains
+                # this batch's own signatures (every survivor then
+                # self-matches and the band-keys append writes nothing).
+                # Same load-bearing truncation as plans.pipeline
+                # refresh_corpus; the frame is batch-survivor-sized.
+                new_sigs = minhash_signatures(kept, text_col, n, num_hashes,
+                                              id_col).localCheckpoint()
+                near_store_write(new_sigs, store_path, bands=bands,
+                                 id_col=id_col, mode="append")
         finally:
             kept.unpersist()
             for c in caches:
