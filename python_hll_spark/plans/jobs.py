@@ -113,7 +113,8 @@ def _refresh_corpus(args) -> None:
     from python_hll_spark.operators.dedup import (near_store_init,
                                                   near_store_read,
                                                   near_store_write)
-    from python_hll_spark.plans.pipeline import refresh_corpus
+    from python_hll_spark.plans.pipeline import (refresh_corpus,
+                                                 refresh_corpus_tokens)
 
     spark = get_spark("refresh-corpus")
     batch = spark.read.parquet(args.input)
@@ -129,10 +130,16 @@ def _refresh_corpus(args) -> None:
         near_store_init(spark, args.near_store, id_type=id_field)
         sigs, band_keys = near_store_read(spark, args.near_store)
 
-    kept, metrics, new_fps, new_sigs = refresh_corpus(
-        batch, fp_store, sigs, band_keys, threshold=args.threshold,
-        num_hashes=args.num_hashes, bands=args.bands, n=args.ngram,
-        text_col=args.text_col, id_col=args.id_col)
+    if args.content == "tokens":
+        kept, metrics, new_fps, new_sigs = refresh_corpus_tokens(
+            batch, fp_store, sigs, band_keys, threshold=args.threshold,
+            num_hashes=args.num_hashes, bands=args.bands, n=args.ngram,
+            tokens_col=args.tokens_col, id_col=args.id_col)
+    else:
+        kept, metrics, new_fps, new_sigs = refresh_corpus(
+            batch, fp_store, sigs, band_keys, threshold=args.threshold,
+            num_hashes=args.num_hashes, bands=args.bands, n=args.ngram,
+            text_col=args.text_col, id_col=args.id_col)
     kept.write.mode("overwrite").parquet(args.output)
     if not args.skip_store_append:
         # safe w.r.t. recache-by-path: refresh_corpus localCheckpoints the
@@ -200,6 +207,11 @@ def main(argv=None) -> None:
     rf.add_argument("--bands", type=int, default=32)
     rf.add_argument("--ngram", type=int, default=3)
     rf.add_argument("--text-col", default="text")
+    rf.add_argument("--content", default="text", choices=["text", "tokens"],
+                    help="'tokens' runs the pre-tokenized path: exact tier "
+                         "on token-array xxhash64, near tier on the Arrow "
+                         "n-gram kernel")
+    rf.add_argument("--tokens-col", default="tokens")
     rf.add_argument("--id-col", default="doc_id")
     rf.add_argument("--skip-store-append", action="store_true",
                     help="dry run: don't grow the stores")

@@ -143,3 +143,53 @@ def test_spark_submit_refresh_corpus(tmp_path, spark):
     assert spark.read.parquet(fp_store).count() == 3
     assert (spark.read.parquet(near_store + "/sigs")
             .select("doc_id").distinct().count() == 3)
+
+
+@pytest.mark.slow
+def test_spark_submit_refresh_corpus_tokens(tmp_path, spark):
+    """Tokens-mode refresh via spark-submit: day-zero bootstrap, then an
+    exact token-array re-crawl and a near copy die while a fresh
+    sequence survives."""
+    import shutil
+    if shutil.which(SPARK_SUBMIT) is None:
+        pytest.skip("spark-submit not on PATH")
+
+    base = list(range(200))
+    other = list(range(1000, 1160))
+    day0 = str(tmp_path / "day0")
+    spark.createDataFrame([("d1", base), ("d2", other)],
+                          "doc_id string, tokens array<int>") \
+        .write.parquet(day0)
+    day1 = str(tmp_path / "day1")
+    spark.createDataFrame([
+        ("x1", base),                                # exact tier
+        ("x2", base + [7, 8, 9]),                    # near tier
+        ("x3", [5000 + 3 * i for i in range(150)]),  # survives
+    ], "doc_id string, tokens array<int>").write.parquet(day1)
+
+    zip_path = _make_pyfiles_zip(tmp_path)
+    job = os.path.join(REPO, "python_hll_spark", "plans", "jobs.py")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    fp_store = str(tmp_path / "fp_store")
+    near_store = str(tmp_path / "near_store")
+
+    def run(inp, out):
+        res = subprocess.run(
+            [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path,
+             job, "refresh-corpus", "--input", inp, "--output", out,
+             "--fp-store", fp_store, "--near-store", near_store,
+             "--content", "tokens", "--threshold", "0.8",
+             "--num-hashes", "64", "--bands", "16"],
+            capture_output=True, text=True, timeout=300, env=env,
+            cwd=str(tmp_path))
+        assert res.returncode == 0, res.stderr[-2000:]
+        return json.loads(res.stdout.strip().splitlines()[-1])
+
+    assert run(day0, str(tmp_path / "out0"))["rows_out"] == 2
+    assert run(day1, str(tmp_path / "out1"))["rows_out"] == 1
+    kept1 = {r["doc_id"] for r in
+             spark.read.parquet(str(tmp_path / "out1")).collect()}
+    assert kept1 == {"x3"}
+    assert spark.read.parquet(fp_store).count() == 3
