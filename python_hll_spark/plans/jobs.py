@@ -13,6 +13,14 @@ Local smoke:
 
     python -m python_hll_spark.plans.jobs build-ndv \
         --input /tmp/seqs --group-cols source --output /tmp/ndv_out
+
+Daily crawl refresh (stores bootstrap empty on day zero; append
+survivors back so tomorrow's batch dedups against today's):
+
+    python -m python_hll_spark.plans.jobs refresh-corpus \
+        --input /data/crawl/2026-08-17 --output /data/clean/2026-08-17 \
+        --fp-store /data/stores/fps --near-store /data/stores/near
+    # pre-tokenized sequences: add --content tokens
 """
 
 from __future__ import annotations
