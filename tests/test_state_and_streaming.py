@@ -150,6 +150,7 @@ def test_near_dedup_stream_across_microbatches(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(420)
     assert not q.isActive, f"stream did not finish: {q.status}"
+    assert q.exception() is None, f"stream failed: {q.exception()}"
 
     kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert kept == [11, 21], kept
@@ -216,6 +217,7 @@ def test_near_dedup_stream_as_decontaminator(spark, tmp_path):
          .trigger(availableNow=True).start())
     q.awaitTermination(420)
     assert not q.isActive, f"stream did not finish: {q.status}"
+    assert q.exception() is None, f"stream failed: {q.exception()}"
     kept = sorted(r["doc_id"] for r in spark.read.parquet(sink).collect())
     assert kept == [2], kept
     sigs, _ = near_store_read(spark, store)
