@@ -537,7 +537,38 @@ def main() -> None:
         "contended_legs": [f"{leg.get('cores')}c"
                            for leg in legs if leg.get("bus_contended")],
     }
-    print(json.dumps(result))
+    # The driver records only the LAST ~2000 bytes of stdout; the full
+    # result exceeds that and got truncated mid-JSON in round 4.  So the
+    # canonical full record goes to a side file and stdout carries a slim
+    # line (metric/value/unit/queries/sf + the headline scaling numbers)
+    # guaranteed to fit the driver's capture window.
+    full_path = os.path.join(REPO, "BENCH", "bench_latest_full.json")
+    os.makedirs(os.path.dirname(full_path), exist_ok=True)
+    with open(full_path, "w") as f:
+        json.dump(result, f)
+    slim = {
+        "metric": result["metric"],
+        "value": result["value"],
+        "unit": "sec",
+        "queries": {k: round(v, 2) for k, v in per_query.items()},
+        "sf": result["sf"],
+        "n_tokens": result["n_tokens"],
+        "tok_per_sec": {str(c): scaling[c]["tokens_per_sec"]
+                        for c in scaling},
+        "eff_1_4": eff(1, 4),
+        "eff_2_8": eff(2, 8),
+        "eff_8_32": eff(8, 32),
+        "nd_tok_per_sec": nd[str(CPUS)]["tokens_per_sec"],
+        "nd_eff_1_4": nd["scaling_efficiency_1_to_4"],
+        "incr_wall_sec": incr["wall_sec"],
+        "bus_ok": result["bus_health"]["all_scaling_legs_healthy"],
+        "full_record": "BENCH/bench_latest_full.json",
+    }
+    line = json.dumps(slim)
+    if len(line) > 1900:  # hard guard: never exceed the capture window
+        slim.pop("queries", None)
+        line = json.dumps(slim)
+    print(line)
 
 
 if __name__ == "__main__":

@@ -53,9 +53,15 @@ def _local_topk_prune(narrow: DataFrame, by: list[str], k: int,
     def _sort_key(keys_np):
         if ascending:
             return keys_np
-        if keys_np.dtype.kind == "i":
+        if keys_np.dtype.kind in "iu":
             return ~keys_np        # bitwise NOT: exact descending for ints
-        return -keys_np
+        if keys_np.dtype.kind == "f":
+            return -keys_np
+        # strings/decimals/bools/datetimes: negation is undefined (or, for
+        # bool, wrong) — factorize to ascending codes and negate those.
+        # O(n log n) like the lexsort itself; exact for any comparable dtype.
+        _, codes = np.unique(keys_np, return_inverse=True)
+        return -codes
 
     def prune(batches):
         import pyarrow as pa

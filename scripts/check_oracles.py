@@ -46,6 +46,7 @@ def main():
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     failures = []
+    timings = {}
     for name, fn in qs.items():
         t0 = time.time()
         try:
@@ -57,9 +58,10 @@ def main():
             print(f"FAIL  {name}: spark error: {e}")
             continue
         dt = time.time() - t0
+        timings[name] = dt
         if name not in oracles:
             print(f"rows  {name}: {len(srows)} rows in {dt:.1f}s (rows-only)")
-            if len(srows) == 0 and name != "minhash_dedup_documents":
+            if len(srows) == 0:
                 failures.append(name)
             continue
         try:
@@ -92,6 +94,11 @@ def main():
     print(f"entry(): {len(erows)} rows, schema {edf.columns}")
     if len(erows) == 0:
         failures.append("entry")
+
+    slowest = sorted(timings.items(), key=lambda kv: -kv[1])[:8]
+    print(f"total spark wall: {sum(timings.values()):.1f}s over "
+          f"{len(timings)} queries; slowest: "
+          + ", ".join(f"{k}={v:.1f}s" for k, v in slowest))
 
     spark.stop()
     if failures:

@@ -97,6 +97,28 @@ def test_local_prune_bounds_window_input(spark):
     assert got == want
 
 
+def test_local_prune_descending_string_key(spark):
+    """Descending prune on a non-numeric key (string) must keep the global
+    lexicographic top-k — the negation shortcut only exists for numeric
+    dtypes, everything else goes through the factorize fallback."""
+    from python_hll_spark.operators.sampling import _local_topk_prune
+
+    k, nparts = 3, 6
+    df = spark.range(0, 500).select(
+        F.concat(F.lit("d"), F.format_string("%04d", F.col("id")))
+        .alias("doc_id"),
+        F.lit("g").alias("source"),
+        F.md5(F.col("id").cast("string")).alias("__key")).repartition(nparts)
+    pruned = _local_topk_prune(df, ["source"], k, "__key", "doc_id",
+                               ascending=False)
+    assert pruned.count() <= k * nparts
+    want = sorted([(r["__key"], r["doc_id"]) for r in df.collect()],
+                  reverse=True)[:k]
+    got = sorted(((r["__key"], r["doc_id"]) for r in pruned.collect()),
+                 reverse=True)[:k]
+    assert got == want
+
+
 def test_hash_split_stable_under_append(spark, ids):
     base = hash_split(ids, {"train": 0.8, "val": 0.1, "test": 0.1}, seed=3)
     assign1 = {r["doc_id"]: r["split"] for r in base.collect()}
