@@ -917,7 +917,9 @@ def q_incremental_near_dedup_documents(spark, sf_dir):
     id + 1,000,000.
     - injected copies MUST be dropped (exact copy -> every band shared
       with its store doc -> est_jaccard 1.0 >= 0.9, whether it dies in the
-      within-batch collapse or at the store probe);
+      within-batch collapse or at the store probe) — except copies of
+      whitespace-only docs, whose sentinel signatures never band and so
+      legitimately survive (carve-out mirrors minhash_dedup_documents);
     - batch originals may be dropped only if genuinely near something:
       exact 3-shingle Jaccard >= 0.5 vs some other doc (store or batch) —
       the same false-positive audit as near_dedup_documents.
@@ -941,10 +943,15 @@ def q_incremental_near_dedup_documents(spark, sf_dir):
                                   n=3, cache_out=caches)
     kept_ids = kept.select("doc_id")
 
-    inj_ok = (injected.select("doc_id")
+    # whitespace-only carve-out (same as minhash_dedup_documents' oracle):
+    # a copy of a zero-word store doc carries the sentinel signature, gets
+    # no band keys, and legitimately survives the probe — count it ok
+    ws_only = (F.regexp_replace(F.coalesce(F.col("text"), F.lit("")),
+                                r"\s", "") == "")
+    inj_ok = (injected.select("doc_id", ws_only.alias("__ws"))
               .join(kept_ids.withColumn("__k", F.lit(True)), "doc_id", "left")
               .select("doc_id",
-                      F.col("__k").isNull().alias("ok")))
+                      (F.col("__ws") | F.col("__k").isNull()).alias("ok")))
     dropped_orig = originals.select("doc_id").exceptAll(
         kept_ids.where(F.col("doc_id") < 1000000))
     audited = _neardup_audit(docs.unionByName(injected), dropped_orig)

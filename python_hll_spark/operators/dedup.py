@@ -824,43 +824,190 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
 
 
 # --------------------------------------------- incremental NEAR-dedup store
+def _store_meta_path(path: str) -> str:
+    import os
+    return os.path.join(path, "meta.json")
+
+
+def near_store_meta(path: str) -> dict | None:
+    """Build parameters recorded in ``{path}/meta.json`` (None if absent —
+    pre-meta stores keep working, they just skip parameter validation)."""
+    import json
+    import os
+    p = _store_meta_path(path)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
+
+
+def _write_store_meta(path: str, meta: dict) -> None:
+    import json
+    import os
+    os.makedirs(path, exist_ok=True)
+    tmp = _store_meta_path(path) + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(meta, f)
+    os.rename(tmp, _store_meta_path(path))  # atomic on posix
+
+
+def near_store_check(path: str, num_hashes: int | None = None,
+                     bands: int | None = None, n: int | None = None) -> None:
+    """Raise ``ValueError`` if the store's recorded build parameters differ
+    from the probe's.  A mismatched probe would NOT error on its own — a
+    64-hash signature zip_with a 128-hash store signature null-pads and
+    caps est_jaccard at 0.5, so exact re-crawls silently survive.  No-op
+    for stores without meta.json (validated executor-side instead by the
+    signature-length assert in ``_incremental_near_dedup_impl``)."""
+    meta = near_store_meta(path)
+    if meta is None:
+        return
+    for name, want in (("num_hashes", num_hashes), ("bands", bands),
+                       ("n", n)):
+        have = meta.get(name)
+        if want is not None and have is not None and have != want:
+            raise ValueError(
+                f"near store {path} was built with {name}={have}, but this "
+                f"probe uses {name}={want}; signatures/band keys are "
+                "position-dependent — rebuild the store or match its "
+                "parameters")
+
+
 def near_store_write(sig_df: DataFrame, path: str, bands: int = 32,
-                     id_col: str = "doc_id", mode: str = "overwrite") -> None:
+                     id_col: str = "doc_id", mode: str = "overwrite",
+                     batch_id: str | int | None = None,
+                     num_hashes: int | None = None,
+                     n: int | None = None) -> None:
     """Persist a MinHash signature frame as a near-dup store: ``{path}/sigs``
     holds (id, sig) and ``{path}/bands`` the derived (id, band, band_key)
     rows, so a later corpus refresh bands NOTHING on the store side — the
-    daily job reads 8-byte band keys straight off parquet.  Append new
-    survivors after each refresh with ``mode="append"``; signatures must
-    be built with the same ``num_hashes``/``n`` and banded with the same
-    ``bands`` across appends (band keys are position-dependent)."""
-    sig_df.write.mode(mode).parquet(f"{path}/sigs")
-    _band_keys_frame(sig_df, bands, id_col).write.mode(mode) \
-        .parquet(f"{path}/bands")
+    daily job reads 8-byte band keys straight off parquet.
+
+    Layout: every write lands under its own Hive-style partition
+    directory ``batch_id=<b>`` (``base`` for overwrite, the given or a
+    generated unique id for appends), and build parameters go to
+    ``{path}/meta.json``.  That makes appends REPLAY-IDEMPOTENT: a
+    re-run with the same ``batch_id`` (e.g. a foreachBatch micro-batch
+    replayed after a crash) overwrites its own subdirectory instead of
+    duplicating rows — the same chunk-overwrite recipe as
+    ``sources/state.py``.  On an object store the subdirectory swap
+    becomes the store's commit protocol.
+
+    Signatures must be built with the same ``num_hashes``/``n`` and banded
+    with the same ``bands`` across appends (band keys are
+    position-dependent); pass them so meta.json can enforce it
+    (``near_store_check`` raises on mismatch)."""
+    if mode not in ("overwrite", "append"):
+        raise ValueError(f"mode must be overwrite|append, got {mode!r}")
+    if mode == "overwrite":
+        import shutil
+        for sub in ("sigs", "bands"):
+            shutil.rmtree(f"{path}/{sub}", ignore_errors=True)
+        batch_id = "base" if batch_id is None else batch_id
+    else:
+        # appends must match the existing build; overwrite REPLACES the
+        # build, so its parameters only rewrite meta.json
+        near_store_check(path, num_hashes=num_hashes, bands=bands, n=n)
+        if batch_id is None:
+            import uuid
+            batch_id = uuid.uuid4().hex[:12]
+    if mode == "overwrite" or near_store_meta(path) is None:
+        _write_store_meta(path, {"num_hashes": num_hashes, "bands": bands,
+                                 "n": n, "id_col": id_col})
+    sig_df.write.mode("overwrite").parquet(
+        f"{path}/sigs/batch_id={batch_id}")
+    _band_keys_frame(sig_df, bands, id_col).write.mode("overwrite") \
+        .parquet(f"{path}/bands/batch_id={batch_id}")
 
 
-def near_store_read(spark, path: str) -> tuple[DataFrame, DataFrame]:
-    """(sigs, bands) frames of a ``near_store_write`` store."""
-    return (spark.read.parquet(f"{path}/sigs"),
-            spark.read.parquet(f"{path}/bands"))
+def near_store_read(spark, path: str,
+                    exclude_batch_id=None) -> tuple[DataFrame, DataFrame]:
+    """(sigs, bands) frames of a ``near_store_write`` store (the
+    ``batch_id`` layout partition column is an implementation detail and
+    is dropped).
+
+    ``exclude_batch_id`` skips one append's partition — a job
+    re-processing batch B must probe "the store WITHOUT B's own earlier
+    append", or a crash-replay would see its own survivors in the store,
+    drop them all as self-matches, and overwrite its partition with zero
+    rows.  The filter is on the partition column, so the excluded
+    subdirectory is pruned at the scan, not read-and-filtered."""
+
+    def _read(sub: str) -> DataFrame:
+        df = spark.read.parquet(f"{path}/{sub}")
+        if exclude_batch_id is not None and "batch_id" in df.columns:
+            df = df.where(F.col("batch_id").cast("string")
+                          != str(exclude_batch_id))
+        return df.drop("batch_id")
+
+    return _read("sigs"), _read("bands")
 
 
-def near_store_init(spark, path: str, id_type: str = "bigint") -> None:
+def near_store_init(spark, path: str, id_type: str = "bigint",
+                    id_col: str = "doc_id", num_hashes: int | None = None,
+                    bands: int | None = None, n: int | None = None) -> None:
     """Create an EMPTY near-dup store (day-0 bootstrap for a streaming or
     first-ever incremental run): zero-row sigs/bands parquet with the
-    store schema, so readers and appends work uniformly from batch one."""
+    store schema, so readers and appends work uniformly from batch one.
+    Pass the build parameters so ``meta.json`` can reject mismatched
+    probes/appends from day one."""
     empty_sigs = spark.createDataFrame(
-        [], f"doc_id {id_type}, sig array<bigint>")
+        [], f"{id_col} {id_type}, sig array<bigint>")
     empty_bands = spark.createDataFrame(
-        [], f"doc_id {id_type}, band int, band_key bigint")
-    empty_sigs.write.mode("overwrite").parquet(f"{path}/sigs")
-    empty_bands.write.mode("overwrite").parquet(f"{path}/bands")
+        [], f"{id_col} {id_type}, band int, band_key bigint")
+    empty_sigs.write.mode("overwrite").parquet(
+        f"{path}/sigs/batch_id=init")
+    empty_bands.write.mode("overwrite").parquet(
+        f"{path}/bands/batch_id=init")
+    _write_store_meta(path, {"num_hashes": num_hashes, "bands": bands,
+                             "n": n, "id_col": id_col})
+
+
+def near_store_compact(spark, path: str, target_partitions: int = 8) -> dict:
+    """Rewrite a store's accumulated per-batch appends into
+    ``target_partitions`` files per side and atomically swap them in — the
+    ops pass a year of daily refreshes needs (hundreds of small
+    ``batch_id=`` directories would otherwise make every probe open
+    hundreds of tiny parquet footers).  Probe results are byte-identical
+    before/after; only the file layout changes.
+
+    Swap recipe (local FS; object stores substitute their commit
+    protocol): write to ``{path}/.compact-<side>``, rename the live
+    directory aside, rename the compacted one in, delete the old.
+    Returns per-side file counts before/after for ops logging."""
+    import glob
+    import os
+    import shutil
+
+    def _nfiles(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "**", "*.parquet"),
+                             recursive=True))
+
+    stats = {}
+    for sub in ("sigs", "bands"):
+        live = os.path.join(path, sub)
+        before = _nfiles(live)
+        tmp = os.path.join(path, f".compact-{sub}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        (spark.read.parquet(live).drop("batch_id")
+         .repartition(target_partitions)
+         .write.mode("overwrite")
+         .parquet(os.path.join(tmp, "batch_id=compacted")))
+        old = os.path.join(path, f".old-{sub}")
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(live, old)
+        os.rename(tmp, live)
+        shutil.rmtree(old)
+        stats[sub] = {"files_before": before, "files_after": _nfiles(live)}
+    return stats
 
 
 def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
                            store_bands: DataFrame, threshold: float = 0.8,
                            num_hashes: int = 128, bands: int = 32, n: int = 3,
                            text_col: str = "text", id_col: str = "doc_id",
-                           cache_out: list | None = None) -> DataFrame:
+                           cache_out: list | None = None,
+                           outputs: dict | None = None) -> DataFrame:
     """Near-dedup a NEW crawl batch against yesterday's corpus — the
     missing tier next to ``incremental_dedup`` (exact fingerprints): a new
     doc that is a NEAR-copy of anything already in the store is dropped
@@ -879,18 +1026,24 @@ def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
          collapsed into them in step 1).
 
     ``num_hashes``/``bands``/``n`` must match the store's build
-    parameters.  Returns surviving rows of ``new_df`` (all columns);
-    append their signatures to the store via
-    ``near_store_write(minhash_signatures(kept, ...), path,
-    mode="append")`` — see ``tests/test_incremental_dedup.py`` for the
-    round-trip.  The batch signature pass runs ONCE and is shared by the
-    within-batch LSH and the store probe; its persist handle (plus the
-    banding caches) land in ``cache_out`` when given, else live until the
-    session releases them."""
+    parameters (``near_store_check`` validates against the store's
+    meta.json; a signature-length assert also fires executor-side on the
+    first mismatched candidate pair).  Returns surviving rows of
+    ``new_df`` (all columns).  The batch signature pass runs ONCE and is
+    shared by the within-batch LSH, the store probe, AND the store-append
+    frame: pass ``outputs={}`` and read ``outputs["survivor_sigs"]`` — the
+    survivors' (id, sig) rows sliced from the already-computed batch
+    signatures (NO second kernel pass) — then append it to the store via
+    ``near_store_write(..., mode="append")``.  ``survivor_sigs`` reads the
+    persist handles in ``cache_out``, so materialize it (e.g.
+    ``localCheckpoint``) before unpersisting them or appending to the
+    store the lineage probes.  The persist handles (signatures, banding
+    caches, store-probe hits) land in ``cache_out`` when given, else live
+    until the session releases them."""
     sigs_all = minhash_signatures(new_df, text_col, n, num_hashes, id_col)
     return _incremental_near_dedup_impl(new_df, sigs_all, store_sigs,
                                         store_bands, threshold, bands,
-                                        id_col, cache_out)
+                                        id_col, cache_out, outputs)
 
 
 def incremental_near_dedup_tokens(new_df: DataFrame, store_sigs: DataFrame,
@@ -899,23 +1052,25 @@ def incremental_near_dedup_tokens(new_df: DataFrame, store_sigs: DataFrame,
                                   num_hashes: int = 128, bands: int = 32,
                                   n: int = 3, tokens_col: str = "tokens",
                                   id_col: str = "doc_id",
-                                  cache_out: list | None = None) -> DataFrame:
+                                  cache_out: list | None = None,
+                                  outputs: dict | None = None) -> DataFrame:
     """``incremental_near_dedup`` over PRE-TOKENIZED docs (the input_hint
     table shape): batch signatures come from the single-pass Arrow
-    n-gram kernel instead of the text tokenizer; store probe and
-    within-batch collapse are shared."""
+    n-gram kernel instead of the text tokenizer; store probe, within-batch
+    collapse, and the ``outputs["survivor_sigs"]`` contract are shared."""
     sigs_all = minhash_signatures_tokens(new_df, tokens_col, n, num_hashes,
                                          id_col)
     return _incremental_near_dedup_impl(new_df, sigs_all, store_sigs,
                                         store_bands, threshold, bands,
-                                        id_col, cache_out)
+                                        id_col, cache_out, outputs)
 
 
 def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
                                  store_sigs: DataFrame,
                                  store_bands: DataFrame, threshold: float,
                                  bands: int, id_col: str,
-                                 cache_out: list | None) -> DataFrame:
+                                 cache_out: list | None,
+                                 outputs: dict | None = None) -> DataFrame:
     caches = cache_out if cache_out is not None else []
     sigs_all = sigs_all.persist()
     caches.append(sigs_all)
@@ -952,10 +1107,28 @@ def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
     match_frac = (F.size(F.filter(
         F.zip_with("__s_sig", "__n_sig", lambda x, y: x == y),
         lambda v: v)) / F.size("__s_sig"))
+    # executor-side num_hashes guard: a mismatched store sig would
+    # null-pad the zip_with and cap match_frac at min(K_s,K_n)/K_s — exact
+    # re-crawls would silently survive.  assert_true costs one size()
+    # comparison per CANDIDATE row (bounded, tiny) and fails the job with
+    # a clear message instead
+    sig_len_ok = F.assert_true(
+        F.size("__s_sig") == F.size("__n_sig"),
+        F.lit("near-dedup store/batch signature length mismatch — the "
+              "store was built with a different num_hashes"))
     hits = (s_sigs.join(F.broadcast(cand), "__store_id")
             .join(F.broadcast(n_sigs), "__new_id")
-            .where(match_frac >= threshold)
-            .select(F.col("__new_id").alias(id_col)).distinct())
+            .where(sig_len_ok.isNull() & (match_frac >= threshold))
+            .select(F.col("__new_id").alias(id_col)).distinct()
+            .persist())
+    caches.append(hits)
+    if outputs is not None:
+        # survivors' signatures SLICED from the already-computed batch
+        # signature cache — the store-append frame without a second
+        # signature-kernel pass (the refresh hot path used to re-tokenize
+        # and re-hash every survivor here)
+        outputs["survivor_sigs"] = b_sigs.join(F.broadcast(hits), id_col,
+                                               "left_anti")
     return batch.join(F.broadcast(hits), id_col, "left_anti")
 
 

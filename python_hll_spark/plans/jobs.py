@@ -116,9 +116,15 @@ def _refresh_corpus(args) -> None:
     dedups against today's survivors.  Missing stores bootstrap empty
     (day zero).  Metrics go to STDOUT as one JSON line; ``rows_out``
     stays the LAST line (same contract as prepare-corpus)."""
+    import hashlib
+    import os
+    import re
+
+    from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
-    from python_hll_spark.operators.dedup import (near_store_init,
+    from python_hll_spark.operators.dedup import (near_store_check,
+                                                  near_store_init,
                                                   near_store_read,
                                                   near_store_write)
     from python_hll_spark.plans.pipeline import (refresh_corpus,
@@ -128,14 +134,37 @@ def _refresh_corpus(args) -> None:
     batch = spark.read.parquet(args.input)
     id_field = dict((f.name, f.dataType.simpleString())
                     for f in batch.schema.fields)[args.id_col]
+    # replay-idempotent store appends: each input batch writes under its
+    # own batch_id= subdirectory, derived deterministically from the input
+    # path — a re-run of the same day's job (crash recovery, operator
+    # retry) OVERWRITES its own append instead of duplicating store rows
+    if args.batch_id:
+        batch_id = args.batch_id
+    else:
+        base = re.sub(r"[^A-Za-z0-9_.-]", "_",
+                      os.path.basename(os.path.normpath(args.input)))
+        digest = hashlib.sha256(
+            os.path.abspath(args.input).encode()).hexdigest()[:8]
+        batch_id = f"{base}-{digest}"
     try:
         fp_store = spark.read.parquet(args.fp_store)
+        if "batch_id" in fp_store.columns:
+            # a re-run must not see its OWN previous append (it would drop
+            # every survivor as an exact self-match and write empty)
+            fp_store = fp_store.where(
+                F.col("batch_id").cast("string") != batch_id)
+        fp_store = fp_store.drop("batch_id")
     except AnalysisException:
         fp_store = spark.createDataFrame([], "fp bigint")  # day zero
+    near_store_check(args.near_store, num_hashes=args.num_hashes,
+                     bands=args.bands, n=args.ngram)
     try:
-        sigs, band_keys = near_store_read(spark, args.near_store)
+        sigs, band_keys = near_store_read(spark, args.near_store,
+                                          exclude_batch_id=batch_id)
     except AnalysisException:
-        near_store_init(spark, args.near_store, id_type=id_field)
+        near_store_init(spark, args.near_store, id_type=id_field,
+                        id_col=args.id_col, num_hashes=args.num_hashes,
+                        bands=args.bands, n=args.ngram)
         sigs, band_keys = near_store_read(spark, args.near_store)
 
     if args.content == "tokens":
@@ -152,12 +181,30 @@ def _refresh_corpus(args) -> None:
     if not args.skip_store_append:
         # safe w.r.t. recache-by-path: refresh_corpus localCheckpoints the
         # survivors, so these frames no longer read the store paths
-        new_fps.write.mode("append").parquet(args.fp_store)
+        new_fps.write.mode("overwrite").parquet(
+            f"{args.fp_store}/batch_id={batch_id}")
         near_store_write(new_sigs, args.near_store, bands=args.bands,
-                         id_col=args.id_col, mode="append")
+                         id_col=args.id_col, mode="append",
+                         batch_id=batch_id, num_hashes=args.num_hashes,
+                         n=args.ngram)
     kept.unpersist()
+    metrics["batch_id"] = batch_id
     print(json.dumps({"metrics": metrics}, default=str))
     print(json.dumps({"rows_out": metrics["rows_out"]}))
+    spark.stop()
+
+
+def _compact_near_store(args) -> None:
+    """Rewrite a near store's accumulated per-batch appends into a few
+    target-sized files (atomic directory swap) — run this on whatever
+    cadence keeps the file count sane (weekly against daily refreshes);
+    probe results are byte-identical before/after."""
+    from python_hll_spark.operators.dedup import near_store_compact
+
+    spark = get_spark("compact-near-store")
+    stats = near_store_compact(spark, args.store,
+                               target_partitions=args.target_partitions)
+    print(json.dumps({"compacted": stats}))
     spark.stop()
 
 
@@ -223,7 +270,18 @@ def main(argv=None) -> None:
     rf.add_argument("--id-col", default="doc_id")
     rf.add_argument("--skip-store-append", action="store_true",
                     help="dry run: don't grow the stores")
+    rf.add_argument("--batch-id", default="",
+                    help="store-append key (default: derived from the "
+                         "input path); re-running with the same key "
+                         "overwrites that append — idempotent recovery")
     rf.set_defaults(fn=_refresh_corpus)
+
+    cn = sub.add_parser("compact-near-store",
+                        help="rewrite a near store's per-batch appends "
+                             "into target-sized files (atomic swap)")
+    cn.add_argument("--store", required=True, help="near_store_write path")
+    cn.add_argument("--target-partitions", type=int, default=8)
+    cn.set_defaults(fn=_compact_near_store)
 
     args = p.parse_args(argv)
     args.fn(args)

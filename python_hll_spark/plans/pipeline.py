@@ -150,11 +150,12 @@ def refresh_corpus(new_batch: DataFrame, fp_store: DataFrame,
                      store probe)
 
     Returns ``(kept, metrics, new_fps, new_sigs)``: the surviving rows,
-    stage row-counts, and the two frames to APPEND to the stores
-    (``fingerprint_frame`` output and ``minhash_signatures`` output of
-    the survivors — write the latter with ``near_store_write(...,
-    mode="append")``).  Store parameters (num_hashes/bands/n) must match
-    the near store's build.
+    stage row-counts, and the two frames to APPEND to the stores.
+    ``new_sigs`` is the survivors' (id, sig) rows SLICED from the near
+    tier's one batch signature pass (``outputs["survivor_sigs"]``
+    contract — no second kernel run) — write it with
+    ``near_store_write(..., mode="append")``.  Store parameters
+    (num_hashes/bands/n) must match the near store's build.
 
     ``kept`` is returned LINEAGE-TRUNCATED (eager ``localCheckpoint``),
     not merely persisted — this is load-bearing: ``kept``'s lineage reads
@@ -166,19 +167,16 @@ def refresh_corpus(new_batch: DataFrame, fp_store: DataFrame,
     are immune to subsequent store writes."""
     from python_hll_spark.operators.dedup import (fingerprint_frame,
                                                   incremental_dedup,
-                                                  incremental_near_dedup,
-                                                  minhash_signatures)
+                                                  incremental_near_dedup)
 
     return _refresh_impl(
         new_batch, fp_store, near_sigs, near_bands,
         exact_fn=lambda df, fps: incremental_dedup(df, fps, text_col, id_col),
-        near_fn=lambda df, caches: incremental_near_dedup(
+        near_fn=lambda df, caches, outputs: incremental_near_dedup(
             df, near_sigs, near_bands, threshold=threshold,
             num_hashes=num_hashes, bands=bands, n=n, text_col=text_col,
-            id_col=id_col, cache_out=caches),
-        fps_fn=lambda df: fingerprint_frame(df, text_col),
-        sigs_fn=lambda df: minhash_signatures(df, text_col, n, num_hashes,
-                                              id_col))
+            id_col=id_col, cache_out=caches, outputs=outputs),
+        fps_fn=lambda df: fingerprint_frame(df, text_col))
 
 
 def refresh_corpus_tokens(new_batch: DataFrame, fp_store: DataFrame,
@@ -194,30 +192,35 @@ def refresh_corpus_tokens(new_batch: DataFrame, fp_store: DataFrame,
     the same load-bearing ``localCheckpoint`` (see ``refresh_corpus``)."""
     from python_hll_spark.operators.dedup import (
         fingerprint_frame_tokens, incremental_dedup_tokens,
-        incremental_near_dedup_tokens, minhash_signatures_tokens)
+        incremental_near_dedup_tokens)
 
     return _refresh_impl(
         new_batch, fp_store, near_sigs, near_bands,
         exact_fn=lambda df, fps: incremental_dedup_tokens(df, fps,
                                                           tokens_col, id_col),
-        near_fn=lambda df, caches: incremental_near_dedup_tokens(
+        near_fn=lambda df, caches, outputs: incremental_near_dedup_tokens(
             df, near_sigs, near_bands, threshold=threshold,
             num_hashes=num_hashes, bands=bands, n=n, tokens_col=tokens_col,
-            id_col=id_col, cache_out=caches),
-        fps_fn=lambda df: fingerprint_frame_tokens(df, tokens_col),
-        sigs_fn=lambda df: minhash_signatures_tokens(df, tokens_col, n,
-                                                     num_hashes, id_col))
+            id_col=id_col, cache_out=caches, outputs=outputs),
+        fps_fn=lambda df: fingerprint_frame_tokens(df, tokens_col))
 
 
 def _refresh_impl(new_batch, fp_store, near_sigs, near_bands,
-                  exact_fn, near_fn, fps_fn, sigs_fn):
+                  exact_fn, near_fn, fps_fn):
     metrics = {"rows_in": new_batch.count()}
     exact_kept = exact_fn(new_batch, fp_store).persist()
     metrics["rows_after_exact_tier"] = exact_kept.count()
     caches: list = []
-    kept = near_fn(exact_kept, caches).localCheckpoint()
+    outputs: dict = {}
+    kept = near_fn(exact_kept, caches, outputs).localCheckpoint()
     metrics["rows_out"] = kept.count()
+    # the store-append signature frame is SLICED from the near tier's
+    # persisted batch signatures (outputs contract) — ONE signature-kernel
+    # pass per refresh, where this used to re-tokenize and re-hash every
+    # survivor.  Checkpoint it while the caches are still alive (and
+    # before any store append can trigger recache-by-path).
+    new_sigs = outputs["survivor_sigs"].localCheckpoint()
     exact_kept.unpersist()
     for c in caches:
         c.unpersist()
-    return kept, metrics, fps_fn(kept), sigs_fn(kept)
+    return kept, metrics, fps_fn(kept), new_sigs

@@ -309,55 +309,88 @@ def near_dedup_stream(stream_df: DataFrame, store_path: str,
     shuffled), so streaming and batch tiers share one code path and one
     store.  Bootstrap an empty store with ``near_store_init``.
 
-    Delivery caveat (standard foreachBatch): a batch replayed after a
-    failure re-appends its survivors' signatures (harmless for dedup
-    correctness — duplicate band keys only add candidates that score 1.0
-    against themselves) and re-writes them to the sink; pass
-    ``sink_writer(df, batch_id)`` writing to a per-batch-id path for an
-    idempotent sink.
+    Replay semantics: store appends are keyed by the micro-batch id
+    (``near_store_write(..., batch_id=batch_id)`` writes under its own
+    ``batch_id=`` subdirectory), so a batch replayed after a failure
+    OVERWRITES its own append instead of duplicating rows — the store
+    does not accumulate garbage across crash-replays.  The default sink
+    is still a plain parquet append; pass ``sink_writer(df, batch_id)``
+    writing to a per-batch-id path for an idempotent sink too.
 
     Returns a ``DataStreamWriter`` — configure checkpointing/trigger and
     ``.start()`` it."""
+    from python_hll_spark.operators.dedup import near_store_check
+
+    near_store_check(store_path, num_hashes=num_hashes, bands=bands, n=n)
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        process_near_dedup_batch(
+            batch_df, batch_id, store_path, sink_path=sink_path,
+            threshold=threshold, num_hashes=num_hashes, bands=bands, n=n,
+            text_col=text_col, id_col=id_col, append_store=append_store,
+            sink_writer=sink_writer)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
+def process_near_dedup_batch(batch_df: DataFrame, batch_id: int,
+                             store_path: str, *,
+                             sink_path: str | None = None,
+                             threshold: float = 0.8, num_hashes: int = 128,
+                             bands: int = 32, n: int = 3,
+                             text_col: str = "text", id_col: str = "doc_id",
+                             append_store: bool = True,
+                             sink_writer=None) -> None:
+    """One ``near_dedup_stream`` micro-batch, as a plain function so
+    replay semantics are directly testable: calling it twice with the
+    same ``batch_id`` (a crash-replay) leaves the store byte-identical —
+    the append is keyed by ``batch_id`` and overwrites itself."""
     from python_hll_spark.operators.dedup import (incremental_near_dedup,
-                                                  minhash_signatures,
                                                   near_store_read,
                                                   near_store_write)
 
-    def _process(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        store_sigs, store_bands = near_store_read(spark, store_path)
-        caches: list = []
-        kept = incremental_near_dedup(batch_df, store_sigs, store_bands,
-                                      threshold=threshold,
-                                      num_hashes=num_hashes, bands=bands,
-                                      n=n, text_col=text_col, id_col=id_col,
-                                      cache_out=caches).persist()
-        try:
-            if sink_writer is not None:
-                sink_writer(kept, batch_id)
-            elif sink_path is not None:
-                kept.write.mode("append").parquet(sink_path)
-            if append_store:
-                # localCheckpoint before appending: kept's lineage reads
-                # the store parquet, and near_store_write's TWO appends
-                # (sigs, then derived band keys) would otherwise
-                # re-evaluate the signature frame through a cache entry
-                # that Spark's recache-by-path may have invalidated after
-                # the first append — against a store that now contains
-                # this batch's own signatures (every survivor then
-                # self-matches and the band-keys append writes nothing).
-                # Same load-bearing truncation as plans.pipeline
-                # refresh_corpus; the frame is batch-survivor-sized.
-                new_sigs = minhash_signatures(kept, text_col, n, num_hashes,
-                                              id_col).localCheckpoint()
-                near_store_write(new_sigs, store_path, bands=bands,
-                                 id_col=id_col, mode="append")
-        finally:
-            kept.unpersist()
-            for c in caches:
-                c.unpersist()
-
-    return stream_df.writeStream.foreachBatch(_process)
+    spark = batch_df.sparkSession
+    # exclude this batch's OWN partition from the probe: on a replay the
+    # store already holds the first attempt's survivors, which would all
+    # self-match and zero out the rewrite
+    store_sigs, store_bands = near_store_read(spark, store_path,
+                                              exclude_batch_id=batch_id)
+    caches: list = []
+    outputs: dict = {}
+    kept = incremental_near_dedup(batch_df, store_sigs, store_bands,
+                                  threshold=threshold,
+                                  num_hashes=num_hashes, bands=bands,
+                                  n=n, text_col=text_col, id_col=id_col,
+                                  cache_out=caches,
+                                  outputs=outputs).persist()
+    try:
+        if sink_writer is not None:
+            sink_writer(kept, batch_id)
+        elif sink_path is not None:
+            kept.write.mode("append").parquet(sink_path)
+        if append_store:
+            # survivors' signatures come SLICED from the batch's one
+            # signature pass (outputs contract) — no re-tokenize/
+            # re-hash of the survivors.  localCheckpoint before
+            # appending: the frame's lineage reads the store parquet
+            # (and the batch persist handles), and near_store_write's
+            # TWO appends (sigs, then derived band keys) would
+            # otherwise re-evaluate it through a cache entry that
+            # Spark's recache-by-path may have invalidated after the
+            # first append — against a store that now contains this
+            # batch's own signatures (every survivor then
+            # self-matches and the band-keys append writes nothing).
+            # Same load-bearing truncation as plans.pipeline
+            # refresh_corpus; the frame is batch-survivor-sized.
+            new_sigs = outputs["survivor_sigs"].localCheckpoint()
+            near_store_write(new_sigs, store_path, bands=bands,
+                             id_col=id_col, mode="append",
+                             batch_id=batch_id, num_hashes=num_hashes,
+                             n=n)
+    finally:
+        kept.unpersist()
+        for c in caches:
+            c.unpersist()
 
 
 def windowed_ndv_stream(stream_df: DataFrame, ts_col: str, key_col: str,
