@@ -21,6 +21,15 @@ survivors back so tomorrow's batch dedups against today's):
         --input /data/crawl/2026-08-17 --output /data/clean/2026-08-17 \
         --fp-store /data/stores/fps --near-store /data/stores/near
     # pre-tokenized sequences: add --content tokens
+    # store appends are keyed by a batch id derived from --input (or
+    # --batch-id): re-running a failed day overwrites its own append
+    # instead of duplicating store rows
+
+Store maintenance (run on whatever cadence keeps file counts sane —
+weekly against daily refreshes; probe results are byte-identical):
+
+    python -m python_hll_spark.plans.jobs compact-near-store \
+        --store /data/stores/near --target-partitions 64
 """
 
 from __future__ import annotations

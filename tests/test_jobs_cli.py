@@ -144,6 +144,18 @@ def test_spark_submit_refresh_corpus(tmp_path, spark):
     assert (spark.read.parquet(near_store + "/sigs")
             .select("doc_id").distinct().count() == 3)
 
+    # REPLAY day 1 (same input path -> same derived batch_id): the re-run
+    # excludes its own earlier append from the store probe, reproduces the
+    # same survivors, and overwrites its own store partitions — stores do
+    # NOT grow across crash-replays of the same daily batch
+    assert run(day1, str(tmp_path / "out1_replay"))["rows_out"] == 1
+    assert {r["doc_id"] for r in
+            spark.read.parquet(str(tmp_path / "out1_replay")).collect()} \
+        == {103}
+    assert spark.read.parquet(fp_store).count() == 3
+    assert (spark.read.parquet(near_store + "/sigs")
+            .select("doc_id").distinct().count() == 3)
+
 
 @pytest.mark.slow
 def test_spark_submit_refresh_corpus_tokens(tmp_path, spark):
