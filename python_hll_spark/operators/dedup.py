@@ -1002,6 +1002,38 @@ def near_store_compact(spark, path: str, target_partitions: int = 8) -> dict:
     return stats
 
 
+def fp_store_compact(spark, path: str, target_partitions: int = 8) -> dict:
+    """Compact an incremental-dedup FINGERPRINT store (per-batch
+    ``batch_id=`` appends of (fp) rows, written by the refresh-corpus
+    CLI) into ``target_partitions`` files — same atomic-swap recipe as
+    ``near_store_compact``, plus a ``distinct()``: fingerprints are
+    idempotent set members, so re-crawled duplicates across batches
+    collapse for free here."""
+    import glob
+    import os
+    import shutil
+
+    def _nfiles(d: str) -> int:
+        return len(glob.glob(os.path.join(d, "**", "*.parquet"),
+                             recursive=True))
+
+    before = _nfiles(path)
+    df = spark.read.parquet(path)
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    tmp = path.rstrip("/") + ".compact-tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (df.distinct().repartition(target_partitions)
+     .write.mode("overwrite").parquet(os.path.join(tmp,
+                                                   "batch_id=compacted")))
+    old = path.rstrip("/") + ".old"
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(path, old)
+    os.rename(tmp, path)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _nfiles(path)}
+
+
 def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
                            store_bands: DataFrame, threshold: float = 0.8,
                            num_hashes: int = 128, bands: int = 32, n: int = 3,

@@ -207,12 +207,18 @@ def _compact_near_store(args) -> None:
     """Rewrite a near store's accumulated per-batch appends into a few
     target-sized files (atomic directory swap) — run this on whatever
     cadence keeps the file count sane (weekly against daily refreshes);
-    probe results are byte-identical before/after."""
-    from python_hll_spark.operators.dedup import near_store_compact
+    probe results are byte-identical before/after.  ``--fp-store``
+    compacts the sibling fingerprint store in the same maintenance run
+    (its distinct() also collapses cross-batch duplicate fingerprints)."""
+    from python_hll_spark.operators.dedup import (fp_store_compact,
+                                                  near_store_compact)
 
     spark = get_spark("compact-near-store")
-    stats = near_store_compact(spark, args.store,
-                               target_partitions=args.target_partitions)
+    stats = {"near": near_store_compact(
+        spark, args.store, target_partitions=args.target_partitions)}
+    if args.fp_store:
+        stats["fp"] = fp_store_compact(
+            spark, args.fp_store, target_partitions=args.target_partitions)
     print(json.dumps({"compacted": stats}))
     spark.stop()
 
@@ -289,6 +295,8 @@ def main(argv=None) -> None:
                         help="rewrite a near store's per-batch appends "
                              "into target-sized files (atomic swap)")
     cn.add_argument("--store", required=True, help="near_store_write path")
+    cn.add_argument("--fp-store", default="",
+                    help="also compact this fingerprint store")
     cn.add_argument("--target-partitions", type=int, default=8)
     cn.set_defaults(fn=_compact_near_store)
 

@@ -142,6 +142,37 @@ def test_compact_preserves_probe_results(spark, tmp_path):
     assert near_store_read(spark, path)[0].count() == 6
 
 
+def test_fp_store_compact(spark, tmp_path):
+    """Fingerprint-store compaction: per-batch appends collapse into a
+    few files, cross-batch duplicate fingerprints dedup (set semantics),
+    and the incremental-dedup anti-join sees the same store."""
+    from python_hll_spark.operators.dedup import (fp_store_compact,
+                                                  incremental_dedup)
+
+    path = str(tmp_path / "fps")
+    for b in range(5):
+        rows = [(i,) for i in range(b * 10, b * 10 + 10)]
+        spark.createDataFrame(rows + [(0,)], "fp bigint") \
+            .write.mode("overwrite").parquet(f"{path}/batch_id=b{b}")
+    assert spark.read.parquet(path).count() == 55  # 50 distinct + 5 dups
+
+    stats = fp_store_compact(spark, path, target_partitions=2)
+    compacted = spark.read.parquet(path).drop("batch_id")
+    assert compacted.count() == 50
+    assert stats["files_after"] <= 2
+
+    from python_hll_spark.functions.text import doc_fingerprint
+    probe = _docs(spark, [(1, "some new text"), (2, "other new text")])
+    fp_of = {r["doc_id"]: r["fp"] for r in probe.select(
+        "doc_id", doc_fingerprint(F.col("text")).alias("fp")).collect()}
+    # force doc 1's fingerprint into the store; doc 2 stays fresh
+    spark.createDataFrame([(fp_of[1],)], "fp bigint") \
+        .write.mode("overwrite").parquet(f"{path}/batch_id=extra")
+    kept = incremental_dedup(probe, spark.read.parquet(path)
+                             .drop("batch_id"))
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2]
+
+
 def test_init_custom_id_col(spark, tmp_path):
     """Day-zero bootstrap honours a non-default id column (the refresh
     CLI exposes --id-col; the store schema must match it)."""
