@@ -1363,6 +1363,96 @@ def entry(spark: SparkSession) -> DataFrame:
     return q_hll_ndv_words_by_source(spark, "/root/testdata/sf0.001")
 
 
+def _synth_url():
+    """Deterministic messy URL derived from (doc_id, source) — scheme /
+    WWW / case / default-port / tracking-param / fragment variants that
+    normalization must collapse.  Built identically in the DuckDB
+    oracles (pure integer-modulus CASE arms both sides)."""
+    d = F.col("doc_id")
+    return F.concat(
+        F.when(d % 3 == 0, F.lit("HTTP://")).otherwise(F.lit("https://")),
+        F.when(d % 7 == 0, F.lit("WWW.")).otherwise(F.lit("")),
+        F.when(d % 2 == 0, F.upper(F.col("source"))).otherwise(F.col("source")),
+        F.lit("-"), (d % 5).cast("string"),
+        F.lit(".site-"), (d % 11).cast("string"),
+        F.when(d % 3 == 0, F.lit(".CO.uk")).otherwise(F.lit(".com")),
+        F.when(d % 5 == 0, F.lit(":443")).otherwise(F.lit("")),
+        F.lit("/Articles/"), (d % 7).cast("string"),
+        F.when(d % 4 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(d % 2 == 0,
+               F.concat(F.lit("?utm_source=feed&page="),
+                        (d % 4).cast("string"))).otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#Section-2")).otherwise(F.lit("")))
+
+
+def q_url_dedup_documents(spark, sf_dir):
+    """Crawl-frontier URL curation: blocklist-filter two registrable
+    domains, then keep one min-id row per NORMALIZED url (scheme/www/
+    port/tracking-param variants collapse).  Value-checked exactly: the
+    oracle mirrors every normalization regex in DuckDB SQL, so per-source
+    survivor counts and distinct-domain counts must match to the row.
+    Scale shape: dedup ranks inside xxhash64(norm_url) partitions — only
+    8-byte keys shuffle (see ``functions/web.py``)."""
+    from python_hll_spark.functions.web import (blocklist_filter, url_dedup,
+                                                with_url_columns)
+
+    docs = _read(spark, sf_dir, "documents").withColumn("url", _synth_url())
+    filtered = blocklist_filter(docs, ["site-3.com", "site-5.co.uk"])
+    kept = with_url_columns(url_dedup(filtered))
+    return (kept.groupBy("source")
+            .agg(F.count("*").alias("n_kept"),
+                 F.countDistinct("domain").alias("n_domains"))
+            .orderBy("source"))
+
+
+def q_domain_cap_documents(spark, sf_dir):
+    """Per-registrable-domain document cap (keep the top 5 by n_chars
+    desc, ties by min doc_id) — the domain-balance stage of a crawl
+    pipeline.  SQL-exact oracle via a row_number() window.  Scale shape:
+    partition-local lossless top-k prune bounds the shuffle at
+    cap x partitions rows per domain (``sampling.group_topk``)."""
+    from python_hll_spark.functions.web import domain_cap
+
+    docs = _read(spark, sf_dir, "documents").withColumn("url", _synth_url())
+    capped = domain_cap(docs, cap=5, quality_key="n_chars")
+    return (capped.groupBy("domain")
+            .agg(F.count("*").alias("n_kept"),
+                 F.min("doc_id").alias("first_id"),
+                 F.max("n_chars").alias("best_n_chars"))
+            .orderBy("domain"))
+
+
+def q_classifier_scores_documents(spark, sf_dir):
+    """Hashed uni+bigram linear quality classifier (fastText shape) over
+    every document plus an injected exact copy of each doc_id%5==0 doc.
+    Value-checked invariants: every score lies strictly in (0,1) and an
+    exact copy scores equal to its original (tolerance 1e-9 — the kernel
+    sums per batch with prefix sums, so bit-equality across different
+    Arrow batch compositions is not promised, 1e-9 is ~1e4x the worst
+    float64 drift at bench batch sizes).  Scale shape: one shared Arrow
+    tokenizer pass + one shuffle-free score pass
+    (``functions/classifier.py``)."""
+    from python_hll_spark.functions.classifier import classifier_scores
+
+    off = 10_000_000
+    docs = _read(spark, sf_dir, "documents")
+    base = docs.where(F.col("doc_id") % 5 == 0)
+    dup = base.withColumn("doc_id", F.col("doc_id") + off)
+    scored = classifier_scores(docs.unionByName(dup).select("doc_id", "text"))
+    a = (scored.where((F.col("doc_id") % 5 == 0) & (F.col("doc_id") < off))
+         .select("doc_id", F.col("score").alias("s_a")))
+    b = (scored.where(F.col("doc_id") >= off)
+         .select((F.col("doc_id") - off).alias("doc_id"),
+                 F.col("score").alias("s_b")))
+    return (a.join(b, "doc_id")
+            .select("doc_id",
+                    ((F.col("s_a") > 0) & (F.col("s_a") < 1))
+                    .alias("score_in_range"),
+                    (F.abs(F.col("s_a") - F.col("s_b")) < 1e-9)
+                    .alias("dup_score_equal"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order is load-bearing: the driver's correctness harness
     # records queries in this order and truncates the tail when it hits
@@ -1423,11 +1513,75 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_corpus_seqs": q_refresh_corpus_seqs,
         "winnowing_documents": q_winnowing_documents,
         "boilerplate_documents": q_boilerplate_documents,
+        "url_dedup_documents": q_url_dedup_documents,
+        "domain_cap_documents": q_domain_cap_documents,
+        "classifier_scores_documents": q_classifier_scores_documents,
         "simhash_dup_invariant": q_simhash_dup_invariant,
         "winnowing_dup_invariant": q_winnowing_dup_invariant,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
         "minhash_tokens_dup_invariant": q_minhash_tokens_dup_invariant,
     }
+
+
+# DuckDB mirror of _synth_url + functions/web.py normalization + domain
+# extraction, regex-for-regex.  DuckDB regexp_replace needs the explicit
+# 'g' flag wherever Spark's replaces all occurrences; list indexing is
+# 1-based (parts[len(parts)] is the last label).
+_WEB_URL_CTE = """
+    WITH u0 AS (
+        SELECT doc_id, source, n_chars,
+               CASE WHEN doc_id % 3 = 0 THEN 'HTTP://' ELSE 'https://' END
+               || CASE WHEN doc_id % 7 = 0 THEN 'WWW.' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0 THEN upper(source) ELSE source END
+               || '-' || CAST(doc_id % 5 AS VARCHAR)
+               || '.site-' || CAST(doc_id % 11 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 0 THEN '.CO.uk' ELSE '.com' END
+               || CASE WHEN doc_id % 5 = 0 THEN ':443' ELSE '' END
+               || '/Articles/' || CAST(doc_id % 7 AS VARCHAR)
+               || CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END
+               || CASE WHEN doc_id % 2 = 0
+                       THEN '?utm_source=feed&page=' || CAST(doc_id % 4 AS VARCHAR)
+                       ELSE '' END
+               || CASE WHEN doc_id % 6 = 0 THEN '#Section-2' ELSE '' END
+               AS url
+        FROM documents),
+    u1 AS (SELECT *, regexp_replace(trim(url), '#.*$', '', 'g') AS u
+           FROM u0),
+    u2 AS (SELECT *,
+           regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               lower(regexp_extract(u, '^[^/]*//[^/:]*(:[0-9]+)?')),
+               '^http:', 'https:', 'g'), '//www\\.', '//', 'g'),
+               ':443$', '', 'g'), ':80$', '', 'g') AS prefix,
+           regexp_replace(u, '^[^/]*//[^/]*', '', 'g') AS rest
+           FROM u1),
+    u3 AS (SELECT *,
+           regexp_replace(regexp_extract(rest, '^[^?]*'), '/+$', '', 'g')
+               AS path,
+           list_sort(list_filter(
+               string_split(regexp_replace(rest, '^[^?]*[?]?', '', 'g'), '&'),
+               p -> p <> '' AND NOT regexp_matches(p,
+                   '^(utm_[a-zA-Z_]+|fbclid|gclid|msclkid|ref)='))) AS kept
+           FROM u2),
+    u4 AS (SELECT *, prefix || path ||
+               CASE WHEN len(kept) > 0
+                    THEN '?' || array_to_string(kept, '&') ELSE '' END
+               AS norm_url
+           FROM u3),
+    u5 AS (SELECT *, regexp_extract(norm_url, '^[a-z]+://([^/:?]+)', 1)
+               AS host FROM u4),
+    u6 AS (SELECT *, string_split(host, '.') AS parts FROM u5),
+    u7 AS (SELECT *, CASE
+               WHEN len(parts) >= 3
+                    AND parts[len(parts)-1] IN
+                        ('co','com','net','org','gov','edu','ac')
+                    AND length(parts[len(parts)]) = 2
+               THEN parts[len(parts)-2] || '.' || parts[len(parts)-1]
+                    || '.' || parts[len(parts)]
+               WHEN len(parts) >= 2
+               THEN parts[len(parts)-1] || '.' || parts[len(parts)]
+               ELSE host END AS domain
+           FROM u6)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1867,5 +2021,32 @@ def oracle_sql() -> dict[str, str]:
                                           ORDER BY cos DESC, vec_id) AS rank
                        FROM scored)
             SELECT probe_id, vec_id, rank FROM ranked WHERE rank <= 5
+        """,
+        # the two web queries share one normalization CTE chain that
+        # mirrors functions/web.py regex-for-regex (RE2-safe subset, 'g'
+        # flag everywhere Spark replaces all occurrences)
+        "url_dedup_documents": _WEB_URL_CTE + """
+            , blocked AS (SELECT * FROM u7
+                          WHERE domain NOT IN ('site-3.com', 'site-5.co.uk'))
+            , winners AS (SELECT *, MIN(doc_id) OVER (PARTITION BY norm_url)
+                          AS mn FROM blocked)
+            SELECT source, COUNT(*) AS n_kept,
+                   COUNT(DISTINCT domain) AS n_domains
+            FROM winners WHERE doc_id = mn
+            GROUP BY source ORDER BY source
+        """,
+        "domain_cap_documents": _WEB_URL_CTE + """
+            , ranked AS (SELECT *, ROW_NUMBER() OVER (
+                             PARTITION BY domain
+                             ORDER BY n_chars DESC, doc_id ASC) AS rk
+                         FROM u7)
+            SELECT domain, COUNT(*) AS n_kept, MIN(doc_id) AS first_id,
+                   MAX(n_chars) AS best_n_chars
+            FROM ranked WHERE rk <= 5
+            GROUP BY domain ORDER BY domain
+        """,
+        "classifier_scores_documents": """
+            SELECT doc_id, TRUE AS score_in_range, TRUE AS dup_score_equal
+            FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
         """,
     }

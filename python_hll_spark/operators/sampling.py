@@ -108,35 +108,59 @@ def _local_topk_prune(narrow: DataFrame, by: list[str], k: int,
     return narrow.mapInArrow(prune, narrow.schema)
 
 
+def group_topk(df: DataFrame, k: int, key, by: list[str] | None = None,
+               id_col: str = "doc_id", ascending: bool = True,
+               prune: bool = True,
+               broadcast_winners: bool = True) -> DataFrame:
+    """Exactly min(k, group size) rows per group ordered by
+    (``key`` asc/desc, id asc), deterministic.  Returns the original
+    columns.  ``key`` is a column name or Column expression evaluated
+    against ``df`` (a hash for uniform sampling, a quality score for
+    per-domain caps, ...).
+
+    100 TB shape: candidates are first pruned per input partition to
+    <= k per group (narrow, no shuffle — see ``_local_topk_prune``), so
+    the ranking window's single reducer per group handles at most
+    k x partitions rows, never the group's full population.  Only the
+    NARROW (group, id, key) projection moves — wide payload columns
+    (document text, token arrays) never shuffle.  Winners semi-join
+    back: pass ``broadcast_winners=True`` when k x groups is dimension
+    -table sized (samples), ``False`` when groups are unbounded (e.g.
+    one group per web domain) so AQE picks the join strategy.  Assumes
+    ``id_col`` is unique per row (duplicate ids would all survive the
+    semi-join).  ``prune=False`` skips the local prune (identical
+    output, kept for determinism tests)."""
+    by = by or []
+    key_expr = F.col(key) if isinstance(key, str) else key
+    narrow = df.select(*by, id_col, key_expr.alias("__key"))
+    if prune:
+        narrow = _local_topk_prune(narrow, by, k, "__key", id_col,
+                                   ascending=ascending)
+    kc = F.col("__key").asc() if ascending else F.col("__key").desc()
+    w = (Window.partitionBy(*[F.col(c) for c in by])
+         .orderBy(kc, F.col(id_col).asc()))
+    winners = (narrow
+               .withColumn("__rk", F.row_number().over(w))
+               .where(F.col("__rk") <= k)
+               .select(id_col))
+    if broadcast_winners:
+        winners = F.broadcast(winners)
+    return df.join(winners, id_col, "left_semi")
+
+
 def bottomk_sample(df: DataFrame, k: int, id_col: str = "doc_id",
                    by: list[str] | None = None, seed: int = 0,
                    prune: bool = True) -> DataFrame:
     """Exactly min(k, group size) rows per group, uniformly at random,
     deterministic in (id, seed).  Returns the original columns.
 
-    100 TB shape: candidates are first pruned per input partition to
-    <= k per group (narrow, no shuffle — see ``_local_topk_prune``), so
-    the ranking window's single reducer per group handles at most
-    k x partitions rows, never the group's full population.  Only the
-    NARROW (group, id, hash) projection moves — wide payload columns
-    (document text, token arrays) never shuffle; winners (<= k x groups
-    ids, tiny by definition) broadcast back as a semi-join.  Assumes
-    ``id_col`` is unique per row (duplicate ids would all survive the
-    semi-join).  ``prune=False`` skips the local prune (identical
-    output, kept for determinism tests)."""
-    by = by or []
-    h = F.xxhash64(F.col(id_col), F.lit(seed))
-    narrow = df.select(*by, id_col, h.alias("__key"))
-    if prune:
-        narrow = _local_topk_prune(narrow, by, k, "__key", id_col,
-                                   ascending=True)
-    w = (Window.partitionBy(*[F.col(c) for c in by])
-         .orderBy(F.col("__key").asc(), F.col(id_col).asc()))
-    winners = (narrow
-               .withColumn("__rk", F.row_number().over(w))
-               .where(F.col("__rk") <= k)
-               .select(id_col))
-    return df.join(F.broadcast(winners), id_col, "left_semi")
+    Hash order is a uniform random order, so the bottom-k of
+    ``xxhash64(id, seed)`` is a uniform k-subset; all scale-shape
+    properties are ``group_topk``'s (winners broadcast: k x groups is
+    sample-sized by definition here)."""
+    return group_topk(df, k, F.xxhash64(F.col(id_col), F.lit(seed)),
+                      by=by, id_col=id_col, ascending=True, prune=prune,
+                      broadcast_winners=True)
 
 
 def _unit_hash(id_col: str, seed: int):

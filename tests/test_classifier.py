@@ -1,0 +1,96 @@
+"""Hashed n-gram linear classifier kernel (functions/classifier.py)."""
+
+import math
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from python_hll_spark.functions.classifier import (classifier_scores,
+                                                   classifier_scores_tokens)
+
+D = 1 << 12
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+
+
+def test_scores_in_open_unit_interval(spark):
+    df = _docs(spark, ["a b c d", "x", "", "  ", "one two three four five"])
+    rows = classifier_scores(df, n_buckets=D).collect()
+    assert len(rows) == 5
+    assert all(0.0 < r["score"] < 1.0 for r in rows)
+
+
+def test_empty_doc_scores_sigmoid_bias(spark):
+    df = _docs(spark, ["", "   ", "word word"])
+    rows = {r["doc_id"]: r["score"] for r in
+            classifier_scores(df, n_buckets=D, bias=0.75).collect()}
+    expected = 1.0 / (1.0 + math.exp(-0.75))
+    assert rows[0] == rows[1]                      # both empty: identical
+    assert abs(rows[0] - expected) < 1e-12
+    assert abs(rows[2] - expected) > 1e-6          # non-empty doc differs
+
+
+def test_constant_weights_give_constant_score_any_length(spark):
+    # mean pooling over constant weights must yield sigmoid(bias + c)
+    # EXACTLY for every non-empty doc — exercises the prefix-sum segment
+    # reduction (uni + bigram) across varied doc lengths in one batch
+    w = np.full(D, 0.3, dtype=np.float32)
+    texts = ["a", "b c", "d e f g h", " ".join(f"t{i}" for i in range(257))]
+    rows = classifier_scores(_docs(spark, texts), n_buckets=D,
+                             weights=w, bias=0.1).collect()
+    expected = 1.0 / (1.0 + math.exp(-(0.1 + float(np.float32(0.3)))))
+    assert all(abs(r["score"] - expected) < 1e-12 for r in rows)
+
+
+def test_zero_weights_all_sigmoid_bias(spark):
+    w = np.zeros(D, dtype=np.float32)
+    rows = classifier_scores(_docs(spark, ["a b", "c"]), n_buckets=D,
+                             weights=w).collect()
+    assert all(r["score"] == 0.5 for r in rows)
+
+
+def test_duplicate_text_scores_equal_and_partition_stable(spark):
+    texts = [f"tok{i} tok{i + 1} tok{i + 2} shared words" for i in range(40)]
+    df = _docs(spark, texts + texts)  # ids 0..39 and 40..79 duplicate
+    s1 = {r["doc_id"]: r["score"] for r in
+          classifier_scores(df, n_buckets=D).collect()}
+    s2 = {r["doc_id"]: r["score"] for r in
+          classifier_scores(df.repartition(7), n_buckets=D).collect()}
+    for i in range(40):
+        assert abs(s1[i] - s1[i + 40]) < 1e-9     # dup == original
+        assert abs(s1[i] - s2[i]) < 1e-9          # partitioning-stable
+
+
+def test_bigrams_change_multi_token_scores_only(spark):
+    df = _docs(spark, ["single", "two words here"])
+    a = {r["doc_id"]: r["score"] for r in
+         classifier_scores(df, n_buckets=D, bigrams=True).collect()}
+    b = {r["doc_id"]: r["score"] for r in
+         classifier_scores(df, n_buckets=D, bigrams=False).collect()}
+    assert abs(a[0] - b[0]) < 1e-12   # one token: no bigram features
+    assert a[1] != b[1]
+
+
+def test_tokens_path_matches_text_path(spark):
+    from python_hll_spark.operators.dedup import tokenize_word_hashes
+
+    df = _docs(spark, ["alpha beta gamma", "delta", ""])
+    toks = tokenize_word_hashes(df)
+    via_tokens = {r["doc_id"]: r["score"] for r in
+                  classifier_scores_tokens(toks, n_buckets=D).collect()}
+    via_text = {r["doc_id"]: r["score"] for r in
+                classifier_scores(df, n_buckets=D).collect()}
+    assert via_tokens.keys() == via_text.keys()
+    for k in via_text:
+        assert abs(via_tokens[k] - via_text[k]) < 1e-12
+
+
+def test_null_text_scores_like_empty(spark):
+    df = spark.createDataFrame([(0, None), (1, "")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r["score"] for r in
+            classifier_scores(df, n_buckets=D).collect()}
+    assert rows[0] == rows[1] == 0.5
