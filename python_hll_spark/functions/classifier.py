@@ -31,6 +31,36 @@ def synthetic_weights(n_buckets: int, seed: int = 7) -> np.ndarray:
     return (rng.standard_normal(n_buckets) * 0.5).astype(np.float32)
 
 
+def _score_segments(flat: np.ndarray, offs: np.ndarray, w: np.ndarray,
+                    nb: np.uint64, bias: float, bigrams: bool) -> np.ndarray:
+    """Per-document sigmoid scores from a flat uint64 token-hash buffer +
+    int64 doc offsets (the Arrow list layout).  Shared by the (id, score)
+    kernel and the column-appending passthrough kernel."""
+    n_docs = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    contrib = w[(flat % nb).astype(np.int64)].astype(np.float64)
+    # prefix-sum segment reduction (reduceat mishandles empty segments)
+    csum = np.concatenate([[0.0], np.cumsum(contrib)])
+    uni_sum = csum[offs[1:]] - csum[offs[:-1]]
+    tot_sum, tot_n = uni_sum, lens.astype(np.float64)
+    if bigrams and len(flat) > 1:
+        # adjacent-pair mix; pairs crossing doc boundaries are masked out
+        # via the per-doc last position
+        big = (flat[:-1] * _PHI64) ^ flat[1:]
+        bcontrib = w[(big % nb).astype(np.int64)].astype(np.float64)
+        last = offs[1:] - 1              # last token index per doc
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        valid[last[(last >= 0) & (last < len(flat) - 1)]] = False
+        bcontrib = np.where(valid, bcontrib, 0.0)
+        bcsum = np.concatenate([[0.0], np.cumsum(bcontrib)])
+        s, e = offs[:-1], np.minimum(offs[1:] - 1, len(flat) - 1)
+        e = np.maximum(e, s)
+        tot_sum = tot_sum + (bcsum[e] - bcsum[s])
+        tot_n = tot_n + np.maximum(lens - 1, 0).astype(np.float64)
+    mean = np.divide(tot_sum, tot_n, out=np.zeros(n_docs), where=tot_n > 0)
+    return 1.0 / (1.0 + np.exp(-(bias + mean)))
+
+
 def classifier_scores_tokens(df: DataFrame, tokens_col: str = "tokens",
                              id_col: str = "doc_id",
                              n_buckets: int = 1 << 18, seed: int = 7,
@@ -51,9 +81,9 @@ def classifier_scores_tokens(df: DataFrame, tokens_col: str = "tokens",
 
         # per-task weight materialization: regenerated from the seed when
         # no trained vector is supplied (cheap, keeps the closure tiny)
-        w = weights if weights is not None \
-            else synthetic_weights(n_buckets, seed)
-        w = np.asarray(w, dtype=np.float32)
+        w = np.asarray(weights if weights is not None
+                       else synthetic_weights(n_buckets, seed),
+                       dtype=np.float32)
         for batch in batches:
             toks = batch.column(tokens_col)
             if isinstance(toks, pa.ChunkedArray):
@@ -63,32 +93,7 @@ def classifier_scores_tokens(df: DataFrame, tokens_col: str = "tokens",
             offs = offs - offs[0]
             flat = toks.flatten().to_numpy(zero_copy_only=False) \
                 .astype(np.uint64, copy=False)
-            n_docs = len(offs) - 1
-            lens = offs[1:] - offs[:-1]
-            # unigram features
-            contrib = w[(flat % nb).astype(np.int64)].astype(np.float64)
-            # prefix-sum segment reduction (reduceat mishandles empties)
-            csum = np.concatenate([[0.0], np.cumsum(contrib)])
-            uni_sum = csum[offs[1:]] - csum[offs[:-1]]
-            tot_sum, tot_n = uni_sum, lens.astype(np.float64)
-            if bigrams and len(flat) > 1:
-                # adjacent-pair mix; pairs crossing doc boundaries are
-                # masked out via the per-doc last position
-                big = (flat[:-1] * _PHI64) ^ flat[1:]
-                bcontrib = w[(big % nb).astype(np.int64)] \
-                    .astype(np.float64)
-                last = offs[1:] - 1          # last token index per doc
-                valid = np.ones(len(flat) - 1, dtype=bool)
-                valid[last[(last >= 0) & (last < len(flat) - 1)]] = False
-                bcontrib = np.where(valid, bcontrib, 0.0)
-                bcsum = np.concatenate([[0.0], np.cumsum(bcontrib)])
-                s, e = offs[:-1], np.minimum(offs[1:] - 1, len(flat) - 1)
-                e = np.maximum(e, s)
-                tot_sum = tot_sum + (bcsum[e] - bcsum[s])
-                tot_n = tot_n + np.maximum(lens - 1, 0).astype(np.float64)
-            mean = np.divide(tot_sum, tot_n,
-                             out=np.zeros(n_docs), where=tot_n > 0)
-            score = 1.0 / (1.0 + np.exp(-(bias + mean)))
+            score = _score_segments(flat, offs, w, nb, bias, bigrams)
             ids = batch.column(id_col)
             if isinstance(ids, pa.ChunkedArray):
                 ids = ids.combine_chunks()
@@ -98,6 +103,59 @@ def classifier_scores_tokens(df: DataFrame, tokens_col: str = "tokens",
 
     return df.select(id_col, tokens_col).mapInArrow(
         gen, schema=f"`{id_col}` {id_type}, score double")
+
+
+def with_classifier_score(df: DataFrame, text_col: str = "text",
+                          n_buckets: int = 1 << 18, seed: int = 7,
+                          bias: float = 0.0,
+                          weights: np.ndarray | None = None,
+                          bigrams: bool = True) -> DataFrame:
+    """ALL original columns + ``score`` double, in ONE mapInArrow pass
+    (tokenize + feature-hash + score inline) — the filter-stage shape:
+    no (id, score) join back against the payload, no shuffle at all;
+    ``df.where(F.col("score") >= t)`` composes directly.  Scores are
+    identical to ``classifier_scores`` (same kernel)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from python_hll_spark.functions.murmur3 import murmur3_64
+
+    nb = np.uint64(n_buckets)
+    text_idx = df.columns.index(text_col)
+
+    def gen(batches):
+        w = np.asarray(weights if weights is not None
+                       else synthetic_weights(n_buckets, seed),
+                       dtype=np.float32)
+        for batch in batches:
+            txt = batch.column(text_idx)
+            if isinstance(txt, pa.ChunkedArray):
+                txt = txt.combine_chunks()
+            # same tokenization as dedup.tokenize_word_hashes: lowercase,
+            # whitespace split, empty strings masked, murmur3 word hashes
+            words = pc.utf8_split_whitespace(pc.utf8_lower(txt))
+            offs = words.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            offs = offs - offs[0]
+            flat_words = words.flatten()
+            keep = pc.greater(pc.utf8_length(flat_words), 0)
+            keep_np = keep.to_numpy(zero_copy_only=False)
+            csum = np.concatenate(
+                [[0], np.cumsum(keep_np.astype(np.int64))])
+            counts = csum[offs[1:]] - csum[offs[:-1]]
+            flat = np.asarray(murmur3_64(flat_words.filter(keep)),
+                              dtype=np.uint64)
+            tok_offs = np.concatenate(
+                [[0], np.cumsum(counts)]).astype(np.int64)
+            score = _score_segments(flat, tok_offs, w, nb, bias, bigrams)
+            cols = [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                    else c for c in batch.columns]
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(score, pa.float64())],
+                names=list(batch.schema.names) + ["score"])
+
+    fields = ", ".join(f"`{n}` {t}" for n, t in df.dtypes)
+    return df.mapInArrow(gen, schema=f"{fields}, score double")
 
 
 def classifier_scores(df: DataFrame, text_col: str = "text",

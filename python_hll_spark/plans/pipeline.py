@@ -39,6 +39,21 @@ class CorpusFilterConfig:
     redact_pii: bool = False          # scrub emails/urls/phones FIRST
     mixture_weights: dict | None = None  # final per-source rebalance
     mixture_by: str = "source"
+    # web curation (needs url_col): blocklist + URL dedup run BEFORE the
+    # observed stats scan (so rows_in counts their survivors); the
+    # per-domain cap runs after quality filtering, ranked by the computed
+    # quality column
+    url_col: str | None = None
+    blocked_domains: tuple = ()
+    dedup_by_url: bool = False
+    domain_cap_n: int | None = None
+    # model-score filter (fastText-shape hashed n-gram classifier):
+    # applied after the heuristic quality filter, before exact dedup.
+    # None disables; weights/seed/buckets configure the model
+    min_model_score: float | None = None
+    model_weights: object = None      # np.ndarray of a trained model
+    model_buckets: int = 1 << 18
+    model_seed: int = 7
 
 
 def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
@@ -48,10 +63,21 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
     columns plus the computed quality/lang columns.
 
     Full modern recipe when all stages are enabled:
-        PII redaction -> stats/filters -> exact dedup -> near-dup removal
+        domain blocklist -> URL dedup -> PII redaction -> stats/filters
+        -> model-score filter (adds a ``score`` column)
+        -> per-domain cap -> exact dedup -> near-dup removal
         -> eval-set decontamination (pass ``eval_df``) -> mixture rebalance
     """
     cfg = cfg or CorpusFilterConfig()
+
+    if cfg.url_col:
+        from python_hll_spark.functions.web import (blocklist_filter,
+                                                    url_dedup)
+        if cfg.blocked_domains:
+            df = blocklist_filter(df, list(cfg.blocked_domains),
+                                  url_col=cfg.url_col)
+        if cfg.dedup_by_url:
+            df = url_dedup(df, url_col=cfg.url_col, id_col=id_col)
 
     if cfg.redact_pii:
         from python_hll_spark.functions.text import redact_pii
@@ -79,6 +105,31 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
         F.sum(keep_pred.cast("long")).alias("rows_after_quality"))
     filtered = observed.where(keep_pred)
 
+    model_obs = None
+    if cfg.min_model_score is not None:
+        from python_hll_spark.functions.classifier import \
+            with_classifier_score
+        # one passthrough Arrow pass appends `score`; no join, no shuffle
+        model_scored = with_classifier_score(
+            filtered, text_col=text_col, n_buckets=cfg.model_buckets,
+            seed=cfg.model_seed, weights=cfg.model_weights)
+        model_pred = F.col("score") >= cfg.min_model_score
+        model_obs = Observation("model_filter")
+        filtered = (model_scored
+                    .observe(model_obs,
+                             F.sum(model_pred.cast("long"))
+                             .alias("rows_after_model"))
+                    .where(model_pred))
+
+    if cfg.url_col and cfg.domain_cap_n:
+        from python_hll_spark.functions.web import domain_cap
+        # ranked by the heuristic quality column computed above (or the
+        # model score when that stage ran)
+        cap_key = "score" if cfg.min_model_score is not None else "quality"
+        filtered = domain_cap(filtered, cfg.domain_cap_n,
+                              url_col=cfg.url_col, quality_key=cap_key,
+                              id_col=id_col).drop("domain")
+
     # exact dedup: keep min-id representative per fingerprint
     w_rank = F.row_number().over(
         Window.partitionBy("fingerprint").orderBy(F.asc(id_col)))
@@ -88,6 +139,9 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
     metrics: dict = {"rows_after_exact_dedup": exact_unique.count()}
     metrics["rows_in"] = int(obs.get["rows_in"])
     metrics["rows_after_quality"] = int(obs.get["rows_after_quality"] or 0)
+    if model_obs is not None:
+        metrics["rows_after_model"] = int(
+            model_obs.get["rows_after_model"] or 0)
 
     if cfg.run_near_dedup:
         clean = near_dedup(exact_unique, text_col=text_col, id_col=id_col,

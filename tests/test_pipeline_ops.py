@@ -295,3 +295,89 @@ def test_prepare_corpus_full_recipe(spark, documents):
     contaminated = {r["doc_id"] for r in docs.where(
         (F.col("doc_id") % 10 == 0)).collect()}
     assert not (kept & contaminated)
+
+
+def test_prepare_corpus_web_and_model_stages(spark, documents):
+    """Web curation (blocklist -> URL dedup -> domain cap) + model-score
+    filter threaded through prepare_corpus."""
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    d = F.col("doc_id")
+    docs = documents.withColumn(
+        "url",
+        F.concat(F.lit("https://"),
+                 F.when(d % 4 == 0, F.lit("blocked.com"))
+                 .otherwise(F.concat(F.lit("site-"),
+                                     (d % 3).cast("string"),
+                                     F.lit(".org"))),
+                 F.lit("/p/"), (d % 17).cast("string"),
+                 F.when(d % 2 == 0, F.lit("?utm_source=x"))
+                 .otherwise(F.lit(""))))
+    # zero model weights -> every score is exactly 0.5: a 0.4 threshold
+    # keeps everything, so the stage's plumbing (passthrough scorer +
+    # observation + filter) is exercised without depending on weights
+    cfg = CorpusFilterConfig(
+        min_quality=0.0, min_words=1, run_near_dedup=False,
+        url_col="url", blocked_domains=("blocked.com",),
+        dedup_by_url=True, domain_cap_n=5,
+        min_model_score=0.4,
+        model_weights=np.zeros(1 << 12, dtype=np.float32),
+        model_buckets=1 << 12)
+    clean, metrics = prepare_corpus(docs, cfg)
+
+    rows = clean.collect()
+    assert "score" in clean.columns
+    assert all(r["score"] == 0.5 for r in rows)
+    # blocklist: nothing from blocked.com survives
+    assert all("blocked.com" not in r["url"] for r in rows)
+    # rows_in counts post-web-curation survivors (documented), and the
+    # model stage passed everything at 0.4
+    assert metrics["rows_after_model"] == metrics["rows_after_quality"]
+    # URL dedup: distinct normalized (site, path) keys only -> far fewer
+    # rows than the raw corpus; domain cap bounds each domain at 5
+    n_docs = documents.count()
+    assert metrics["rows_in"] < n_docs
+    from python_hll_spark.functions.web import (registrable_domain,
+                                                url_host, url_normalize)
+    per_dom = (clean
+               .withColumn("d", registrable_domain(
+                   url_host(url_normalize(F.col("url")))))
+               .groupBy("d").count().collect())
+    assert per_dom and all(r["count"] <= 5 for r in per_dom)
+    assert {r["d"] for r in per_dom} <= {"site-0.org", "site-1.org",
+                                         "site-2.org"}
+
+
+def test_prepare_corpus_model_filter_drops(spark, documents):
+    """A threshold above sigmoid(0)=0.5 with zero weights drops every doc
+    at the model stage; metrics record it."""
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    cfg = CorpusFilterConfig(
+        min_quality=0.0, min_words=1, run_near_dedup=False,
+        min_model_score=0.6,
+        model_weights=np.zeros(1 << 12, dtype=np.float32),
+        model_buckets=1 << 12)
+    clean, metrics = prepare_corpus(documents, cfg)
+    assert metrics["rows_after_model"] == 0
+    assert metrics["rows_out"] == 0
+    assert clean.count() == 0
+
+
+def test_with_classifier_score_matches_join_path(spark, documents):
+    """Passthrough scorer == (id, score) kernel joined back, and keeps
+    every original column."""
+    from python_hll_spark.functions.classifier import (classifier_scores,
+                                                       with_classifier_score)
+
+    docs = documents.limit(50)
+    via_pass = {r["doc_id"]: r["score"] for r in
+                with_classifier_score(docs, n_buckets=1 << 12).collect()}
+    via_join = {r["doc_id"]: r["score"] for r in
+                classifier_scores(docs, n_buckets=1 << 12).collect()}
+    assert via_pass.keys() == via_join.keys()
+    assert all(abs(via_pass[k] - via_join[k]) < 1e-9 for k in via_join)
+    out = with_classifier_score(docs, n_buckets=1 << 12)
+    assert out.columns == docs.columns + ["score"]
