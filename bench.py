@@ -327,12 +327,38 @@ def _aux_worker(n_cores: int) -> dict:
             .agg(F.sum(F.col("bucket").cast("bigint"))).collect()
         srp_walls.append(time.time() - t0)
     vecs.unpersist()
+
+    # classifier scoring throughput: hashed uni+bigram linear model over
+    # the pre-tokenized 2M-doc subset — ONE shuffle-free Arrow pass
+    # (tokens scan -> feature hash -> weight gather -> mean -> sigmoid),
+    # i.e. what a model-score filter stage costs per corpus scan
+    from python_hll_spark.functions.classifier import \
+        classifier_scores_tokens
+    sub_docs = 2_000_000
+    subset = f"{SEQS_CACHE}_sub{sub_docs}"
+    if not os.path.exists(os.path.join(subset, "_SUCCESS")):
+        (spark.read.parquet(SEQS_CACHE)
+         .where(F.col("doc_id") < f"doc-{sub_docs:012d}")
+         .repartition(64).write.mode("overwrite").parquet(subset))
+    seqs = spark.read.parquet(subset).select("doc_id", "tokens", "n_tok")
+    n_cls_tokens = int(seqs.agg(F.sum("n_tok")).collect()[0][0])
+    cls_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        classifier_scores_tokens(seqs, tokens_col="tokens",
+                                 id_col="doc_id") \
+            .agg(F.sum("score")).collect()
+        cls_walls.append(time.time() - t0)
+
     spark.stop()
     return {"murmur3_strings_per_sec": int(n_ids / min(mm_walls)),
             "murmur3_wall_sec": round(min(mm_walls), 2), "n_strings": n_ids,
             "srp_vectors_per_sec": int(n_vec / min(srp_walls)),
             "srp_wall_sec": round(min(srp_walls), 2),
-            "n_vectors": n_vec, "dim": dim}
+            "n_vectors": n_vec, "dim": dim,
+            "classifier_tokens_per_sec": int(n_cls_tokens / min(cls_walls)),
+            "classifier_wall_sec": round(min(cls_walls), 2),
+            "classifier_n_tokens": n_cls_tokens}
 
 
 def run_headline() -> tuple[float, dict]:
@@ -408,6 +434,13 @@ INCREMENTAL_STORE_DOCS = int(os.environ.get(
     "SPARK_GRAFT_INCREMENTAL_STORE_DOCS", "2000000"))
 INCREMENTAL_BATCH_DOCS = int(os.environ.get(
     "SPARK_GRAFT_INCREMENTAL_BATCH_DOCS", "100000"))
+# the daily-refresh probe's own N -> 4N pair runs at reduced sizes so the
+# UNTIMED store build stays cheap at 1 core; the timed probe (batch
+# collapse + store scan) is what scales
+INCR_SCALING_STORE_DOCS = int(os.environ.get(
+    "SPARK_GRAFT_INCR_SCALING_STORE_DOCS", "200000"))
+INCR_SCALING_BATCH_DOCS = int(os.environ.get(
+    "SPARK_GRAFT_INCR_SCALING_BATCH_DOCS", "40000"))
 BUS_RETRIES = int(os.environ.get("SPARK_GRAFT_BUS_RETRIES", "2"))
 BUS_RETRY_SLEEP = int(os.environ.get("SPARK_GRAFT_BUS_RETRY_SLEEP", "20"))
 
@@ -499,13 +532,30 @@ def main() -> None:
 
     aux = _sub(["--aux-worker", str(CPUS)])
     print(f"# murmur3 {aux['murmur3_strings_per_sec']:,} strings/s; "
-          f"srp-bucket {aux['srp_vectors_per_sec']:,} vec/s", file=sys.stderr)
+          f"srp-bucket {aux['srp_vectors_per_sec']:,} vec/s; "
+          f"classifier {aux['classifier_tokens_per_sec']:,} tok/s",
+          file=sys.stderr)
 
     incr = _sub(["--incremental-worker", str(CPUS),
                  str(INCREMENTAL_STORE_DOCS), str(INCREMENTAL_BATCH_DOCS)])
     print(f"# incremental near-dedup: {incr['batch_docs']:,}-doc batch vs "
           f"{incr['store_docs']:,}-doc store in {incr['wall_sec']}s "
           f"({incr['batch_tokens_per_sec']:,} batch-tok/s)", file=sys.stderr)
+    # daily-refresh N -> 4N pair (1->4: both legs below the DRAM ceiling,
+    # same convention as the near-dedup pair)
+    incr["scaling"] = {}
+    for c in (1, 4):
+        incr["scaling"][str(c)] = _run_leg(
+            ["--incremental-worker", str(c),
+             str(INCR_SCALING_STORE_DOCS), str(INCR_SCALING_BATCH_DOCS)],
+            f"incremental local[{c}]")
+    incr["scaling_efficiency_1_to_4"] = round(
+        incr["scaling"]["1"]["wall_sec"]
+        / incr["scaling"]["4"]["wall_sec"] / 4.0, 3)
+    print(f"# incremental scaling 1->4 eff "
+          f"{incr['scaling_efficiency_1_to_4']} "
+          f"({incr['scaling']['1']['wall_sec']}s -> "
+          f"{incr['scaling']['4']['wall_sec']}s)", file=sys.stderr)
 
     result = {
         "metric": "sketch-query wall time + token sketch-build throughput",
@@ -529,7 +579,9 @@ def main() -> None:
         "aux": aux,
         "calibration": _host_calibration(),
     }
-    legs = list(scaling.values()) + [nd["1"], nd["4"]]
+    legs = list(scaling.values()) + [nd["1"], nd["4"],
+                                     incr["scaling"]["1"],
+                                     incr["scaling"]["4"]]
     result["bus_health"] = {
         "dram_healthy_melems": DRAM_HEALTHY_MELEMS,
         "all_scaling_legs_healthy": all(
@@ -561,6 +613,8 @@ def main() -> None:
         "nd_tok_per_sec": nd[str(CPUS)]["tokens_per_sec"],
         "nd_eff_1_4": nd["scaling_efficiency_1_to_4"],
         "incr_wall_sec": incr["wall_sec"],
+        "incr_eff_1_4": incr["scaling_efficiency_1_to_4"],
+        "cls_tok_per_sec": aux["classifier_tokens_per_sec"],
         "bus_ok": result["bus_health"]["all_scaling_legs_healthy"],
         "full_record": "BENCH/bench_latest_full.json",
     }
