@@ -1458,10 +1458,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # records queries in this order and truncates the tail when it hits
     # its budget (rounds 3-4 recorded exactly the first 49/50 entries).
     # So: one representative query per OPERATOR first (sketches, dedup
-    # tiers, ANN, text, sampling, pipeline compositions), and the
-    # redundant-coverage invariant variants (whose operators already have
-    # a value-checked row above) last — losing a tail row then costs no
-    # operator its driver-checked evidence.
+    # tiers, ANN, text, web curation, sampling, pipeline compositions),
+    # and the redundant-coverage rows last — composite-key/window variants
+    # of operators that already have a value-checked row above
+    # (hourly-HLL, CMS-by-lang, KLL-by-day), then the dup-injection
+    # invariant twins.  Losing a tail row then costs no operator its
+    # driver-checked evidence.
     return {
         "hll_ndv_users_by_event_type": q_hll_ndv_users_by_event_type,
         "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
@@ -1471,12 +1473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
         "hll_rollup_union": q_hll_rollup_union,
         "hll_store_rollup": q_hll_store_rollup,
-        "hll_ndv_hourly_events": q_hll_ndv_hourly_events,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
         "cms_top_words_by_source": q_cms_top_words_by_source,
-        "cms_top_words_by_source_lang": q_cms_top_words_by_source_lang,
         "kll_value_by_event_type": q_kll_value_by_event_type,
-        "kll_value_by_type_day": q_kll_value_by_type_day,
         "bloom_fp_rate_bound": q_bloom_fp_rate_bound,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "bloom_partkeys_by_returnflag": q_bloom_partkeys_by_returnflag,
@@ -1516,6 +1515,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "url_dedup_documents": q_url_dedup_documents,
         "domain_cap_documents": q_domain_cap_documents,
         "classifier_scores_documents": q_classifier_scores_documents,
+        "hll_ndv_hourly_events": q_hll_ndv_hourly_events,
+        "cms_top_words_by_source_lang": q_cms_top_words_by_source_lang,
+        "kll_value_by_type_day": q_kll_value_by_type_day,
         "simhash_dup_invariant": q_simhash_dup_invariant,
         "winnowing_dup_invariant": q_winnowing_dup_invariant,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
