@@ -1453,6 +1453,77 @@ def q_classifier_scores_documents(spark, sf_dir):
             .orderBy("doc_id"))
 
 
+def q_quality_filter_documents(spark, sf_dir):
+    """Gopher-style rule-based quality gate (Rae et al. 2021 §A1.1
+    subset): five deterministic JVM-expression rules per doc — word-count
+    band, mean word length, symbol/word ratio, alpha-word fraction,
+    stopword presence — each mirrored exactly in SQL, so the whole filter
+    (not just its inputs) is value-oracle-checked."""
+    from python_hll_spark.functions.text import gopher_quality_flags
+
+    docs = _read(spark, sf_dir, "documents")
+    return gopher_quality_flags(docs).orderBy("doc_id")
+
+
+def q_line_dedup_documents(spark, sf_dir):
+    """CCNet/RefinedWeb-style duplicated-line removal, value-oracled.
+    The synthetic corpus has single-line docs, so the query synthesizes a
+    deterministic 4-line page per doc (SQL-expressible, like the URL
+    queries): a PROMO banner shared across docs with the same doc_id%4
+    for 60% of docs (unique header otherwise), an empty structural line,
+    the original text as the body (no exact dups in the corpus), and a
+    Copyright footer shared by doc_id%3.  line_dedup must remove exactly
+    the cross-doc-duplicated banner/footer lines and keep body + empty
+    line, verified per doc by (n_lines, n_removed, clean_len)."""
+    from python_hll_spark.functions.text import line_dedup
+
+    docs = _read(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    header = F.when(did % 5 < 3,
+                    F.concat(F.lit("PROMO banner "),
+                             (did % 4).cast("string"))) \
+        .otherwise(F.concat(F.lit("header "), did.cast("string")))
+    footer = F.concat(F.lit("Copyright site "), (did % 3).cast("string"))
+    d2 = docs.select("doc_id", F.concat_ws(
+        "\n", header, F.lit(""), F.col("text"), footer).alias("text"))
+    out = line_dedup(d2, min_docs=2)
+    return (out.select("doc_id", "n_lines", "n_removed",
+                       F.length("clean_text").alias("clean_len"))
+            .orderBy("doc_id"))
+
+
+def q_ngram_decontaminate_documents(spark, sf_dir):
+    """GPT-3-style 13-gram collision decontamination, value-oracled: every
+    50th doc plays the eval set; a train doc is flagged when any word
+    13-gram collides with an eval gram.  Deterministic (no hash-seeded
+    banding), so the collision REPORT itself — per-doc window and hit
+    counts — is SQL-exact, complementing the LSH near tier."""
+    from python_hll_spark.operators.decontaminate import contamination_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    eval_df = docs.where(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 5000000).alias("doc_id"), "text")
+    hits = contamination_ngrams(docs, eval_df, n=13)
+    return (hits.select("doc_id", "n_grams", "n_hit_grams")
+            .orderBy("doc_id"))
+
+
+def q_strip_spans_documents(spark, sf_dir):
+    """Substring-level dedup (Lee et al. 2021, word-granularity): word
+    positions covered by a cross-document-duplicated 5-gram window are
+    removed and the doc rebuilt — the rewrite companion to the
+    boilerplate stats query.  The corpus's embedded near-dup pairs give
+    real coverage (their bodies collapse almost entirely); verified per
+    doc by (n_words, n_covered_words, clean_len), all SQL-exact."""
+    from python_hll_spark.functions.text import strip_common_ngrams
+
+    docs = _read(spark, sf_dir, "documents")
+    out = strip_common_ngrams(docs, n=5, min_docs=2)
+    return (out.select("doc_id", "n_words", "n_covered_words",
+                       F.length("clean_text").alias("clean_len"))
+            .orderBy("doc_id"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # Registration order is load-bearing: the driver's correctness harness
     # records queries in this order and truncates the tail when it hits
@@ -1473,10 +1544,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
         "hll_rollup_union": q_hll_rollup_union,
         "hll_store_rollup": q_hll_store_rollup,
-        "cms_top1_by_event_type": q_cms_top1_by_event_type,
         "cms_top_words_by_source": q_cms_top_words_by_source,
         "kll_value_by_event_type": q_kll_value_by_event_type,
-        "bloom_fp_rate_bound": q_bloom_fp_rate_bound,
         "tdigest_price_quantiles": q_tdigest_price_quantiles,
         "bloom_partkeys_by_returnflag": q_bloom_partkeys_by_returnflag,
         "session_stats_events": q_session_stats_events,
@@ -1490,7 +1559,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_documents": q_simhash_documents,
-        "srp_ann_embeddings": q_srp_ann_embeddings,
         "ivf_ann_recall": q_ivf_ann_recall,
         "embedding_dup_recall": q_embedding_dup_recall,
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
@@ -1511,10 +1579,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "refresh_corpus_documents": q_refresh_corpus_documents,
         "refresh_corpus_seqs": q_refresh_corpus_seqs,
         "winnowing_documents": q_winnowing_documents,
-        "boilerplate_documents": q_boilerplate_documents,
         "url_dedup_documents": q_url_dedup_documents,
         "domain_cap_documents": q_domain_cap_documents,
         "classifier_scores_documents": q_classifier_scores_documents,
+        "quality_filter_documents": q_quality_filter_documents,
+        "line_dedup_documents": q_line_dedup_documents,
+        "ngram_decontaminate_documents": q_ngram_decontaminate_documents,
+        "strip_spans_documents": q_strip_spans_documents,
+        # same n-gram kernel family as strip_spans (the stronger rewrite
+        # op above keeps driver evidence if the tail is truncated)
+        "boilerplate_documents": q_boilerplate_documents,
+        "cms_top1_by_event_type": q_cms_top1_by_event_type,
+        "bloom_fp_rate_bound": q_bloom_fp_rate_bound,
+        "srp_ann_embeddings": q_srp_ann_embeddings,
         "hll_ndv_hourly_events": q_hll_ndv_hourly_events,
         "cms_top_words_by_source_lang": q_cms_top_words_by_source_lang,
         "kll_value_by_type_day": q_kll_value_by_type_day,
@@ -1856,6 +1933,126 @@ def oracle_sql() -> dict[str, str]:
                    greatest(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) - 7, 0) AS n_kgrams,
                    TRUE AS fps_stable, TRUE AS fp_count_ok
             FROM documents
+        """,
+        "quality_filter_documents": """
+            WITH s AS (
+                SELECT doc_id,
+                       length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n_words,
+                       length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g')) AS n_alnum,
+                       length(regexp_extract_all(text, '#'))
+                         + length(regexp_extract_all(text, '\\.\\.\\.')) AS n_sym,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_ws,
+                       CASE WHEN length(trim(text)) = 0 THEN 0
+                            ELSE len(list_filter(string_split_regex(trim(text), '\\s+'),
+                                                 x -> regexp_matches(x, '[A-Za-z]'))) END AS n_alpha_toks,
+                       length(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it|for|was)\\b')) AS sw_hits
+                FROM documents
+            ), r AS (
+                SELECT doc_id, n_words,
+                       n_words >= 50 AND n_words <= 100000 AS ok_word_count,
+                       n_words > 0 AND n_alnum * 1.0 / greatest(n_words, 1) >= 3.0
+                               AND n_alnum * 1.0 / greatest(n_words, 1) <= 10.0 AS ok_mean_word_len,
+                       n_words > 0 AND n_sym * 1.0 / greatest(n_words, 1) <= 0.1 AS ok_symbol_ratio,
+                       n_ws > 0 AND n_alpha_toks * 1.0 / greatest(n_ws, 1) >= 0.8 AS ok_alpha_words,
+                       sw_hits >= 2 AS ok_stopwords
+                FROM s
+            )
+            SELECT doc_id, n_words, ok_word_count, ok_mean_word_len,
+                   ok_symbol_ratio, ok_alpha_words, ok_stopwords,
+                   (NOT ok_word_count)::INT + (NOT ok_mean_word_len)::INT
+                     + (NOT ok_symbol_ratio)::INT + (NOT ok_alpha_words)::INT
+                     + (NOT ok_stopwords)::INT AS n_rules_failed,
+                   ok_word_count AND ok_mean_word_len AND ok_symbol_ratio
+                     AND ok_alpha_words AND ok_stopwords AS keep
+            FROM r ORDER BY doc_id
+        """,
+        "line_dedup_documents": """
+            WITH d2 AS (
+                SELECT doc_id,
+                       (CASE WHEN doc_id % 5 < 3
+                             THEN 'PROMO banner ' || CAST(doc_id % 4 AS VARCHAR)
+                             ELSE 'header ' || CAST(doc_id AS VARCHAR) END)
+                       || chr(10) || chr(10) || text || chr(10)
+                       || 'Copyright site ' || CAST(doc_id % 3 AS VARCHAR) AS t
+                FROM documents
+            ), l AS (
+                SELECT doc_id, unnest(string_split(t, chr(10))) AS line FROM d2
+            ), nz AS (
+                SELECT doc_id, trim(line) AS lt, length(line) AS ll
+                FROM l WHERE trim(line) <> ''
+            ), common AS (
+                SELECT lt FROM nz GROUP BY lt HAVING count(DISTINCT doc_id) >= 2
+            ), rm AS (
+                SELECT doc_id, count(*) AS n_removed, sum(ll) AS rm_chars
+                FROM nz JOIN common USING (lt) GROUP BY doc_id
+            ), tot AS (
+                SELECT doc_id, count(*) AS n_lines, sum(length(line)) AS tot_chars
+                FROM l GROUP BY doc_id
+            )
+            SELECT t.doc_id, t.n_lines, coalesce(rm.n_removed, 0) AS n_removed,
+                   (t.tot_chars - coalesce(rm.rm_chars, 0)
+                    + greatest(t.n_lines - coalesce(rm.n_removed, 0) - 1, 0)) AS clean_len
+            FROM tot t LEFT JOIN rm USING (doc_id) ORDER BY doc_id
+        """,
+        "strip_spans_documents": """
+            WITH w0 AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id, ws,
+                       [array_to_string(ws[i:i+4], ' ')
+                        FOR i IN generate_series(1, greatest(len(ws) - 4, 0))] AS grams
+                FROM w0
+            ), e AS (
+                SELECT doc_id, unnest(grams) AS s,
+                       unnest(generate_series(1, len(grams))) AS i FROM g
+            ), dist AS (
+                SELECT DISTINCT doc_id, s FROM e
+            ), common AS (
+                SELECT s FROM dist GROUP BY s HAVING count(*) >= 2
+            ), cov AS (
+                SELECT DISTINCT doc_id, unnest(generate_series(i, i + 4)) AS p
+                FROM e JOIN common USING (s)
+            ), wp AS (
+                SELECT doc_id, unnest(ws) AS w,
+                       unnest(generate_series(1, len(ws))) AS p FROM w0
+            ), keptw AS (
+                SELECT wp.doc_id, wp.w FROM wp ANTI JOIN cov USING (doc_id, p)
+            ), agg AS (
+                SELECT doc_id, count(*) AS n_kept, sum(length(w)) AS kept_chars
+                FROM keptw GROUP BY doc_id
+            ), ncov AS (
+                SELECT doc_id, count(*) AS n_covered FROM cov GROUP BY doc_id
+            )
+            SELECT w0.doc_id, len(w0.ws) AS n_words,
+                   coalesce(ncov.n_covered, 0) AS n_covered_words,
+                   (coalesce(agg.kept_chars, 0)
+                    + greatest(coalesce(agg.n_kept, 0) - 1, 0)) AS clean_len
+            FROM w0 LEFT JOIN agg USING (doc_id) LEFT JOIN ncov USING (doc_id)
+            ORDER BY doc_id
+        """,
+        "ngram_decontaminate_documents": """
+            WITH w AS (
+                SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+                FROM documents
+            ), g AS (
+                SELECT doc_id,
+                       [array_to_string(ws[i:i+12], ' ')
+                        FOR i IN generate_series(1, greatest(len(ws) - 12, 0))] AS grams
+                FROM w
+            ), eg AS (
+                SELECT DISTINCT unnest(grams) AS s FROM g WHERE doc_id % 50 = 0
+            ), e AS (
+                SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS s FROM g
+            ), d AS (
+                SELECT DISTINCT doc_id, n_grams, s FROM e
+            )
+            SELECT doc_id, n_grams, count(*) AS n_hit_grams
+            FROM d JOIN eg USING (s)
+            GROUP BY doc_id, n_grams ORDER BY doc_id
         """,
         "media_features": """
             SELECT doc_id::VARCHAR AS media_id,

@@ -401,3 +401,196 @@ def with_text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             .withColumn("quality", quality_score(t))
             .withColumn("lang_pred", detect_language(t))
             .withColumn("fingerprint", doc_fingerprint(t)))
+
+
+def gopher_quality_flags(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_words: int = 50, max_words: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         max_symbol_word_ratio: float = 0.1,
+                         min_alpha_word_frac: float = 0.8,
+                         min_stopword_hits: int = 2) -> DataFrame:
+    """Gopher-style rule-based document filter (Rae et al. 2021, §A1.1):
+    the standard pre-training quality gate applied AFTER dedup and BEFORE
+    mixture sampling.  Deterministic subset of the published rules, every
+    one a pure JVM expression (whole-stage codegen, zero Python) with an
+    exact SQL mirror — so the filter is value-oracle-checkable, unlike
+    model-based scorers:
+
+    - ``ok_word_count``     word count in [min_words, max_words]
+    - ``ok_mean_word_len``  mean word length in [3, 10] (computed as
+      alphanumeric-char count / word count — identical because words ARE
+      the [A-Za-z0-9]+ runs)
+    - ``ok_symbol_ratio``   ('#' + '...') occurrences / words <= 0.1
+    - ``ok_alpha_words``    >= 80% of whitespace tokens contain a letter
+    - ``ok_stopwords``      >= 2 English stopword occurrences
+
+    Returns (id, n_words, 5 rule booleans, n_rules_failed, keep).  100-TB
+    shape: a single narrow scan projection, no shuffle, no state — filters
+    compose with any downstream groupBy without widening its exchange.
+    """
+    t = F.col(text_col)
+    rules = gopher_rule_columns(
+        t, min_words=min_words, max_words=max_words,
+        min_mean_word_len=min_mean_word_len,
+        max_mean_word_len=max_mean_word_len,
+        max_symbol_word_ratio=max_symbol_word_ratio,
+        min_alpha_word_frac=min_alpha_word_frac,
+        min_stopword_hits=min_stopword_hits)
+    n_failed = sum((~r).cast("int") for r in rules.values())
+    keep = n_failed == 0
+    return df.select(
+        F.col(id_col), word_count(t).alias("n_words"),
+        *[r.alias(name) for name, r in rules.items()],
+        n_failed.alias("n_rules_failed"), keep.alias("keep"))
+
+
+def gopher_rule_columns(t: Column, min_words: int = 50,
+                        max_words: int = 100_000,
+                        min_mean_word_len: float = 3.0,
+                        max_mean_word_len: float = 10.0,
+                        max_symbol_word_ratio: float = 0.1,
+                        min_alpha_word_frac: float = 0.8,
+                        min_stopword_hits: int = 2) -> dict:
+    """The individual Gopher rule predicates as named Columns — the
+    building block ``gopher_quality_flags`` reports on, and the form
+    ``prepare_corpus`` ANDs into its single observed filter scan."""
+    n_words = word_count(t)
+    n_alnum = F.length(F.regexp_replace(t, "[^A-Za-z0-9]", ""))
+    # ANSI-safe denominators: the `n > 0` guards below do NOT protect the
+    # divisions — subexpression elimination hoists a ratio used by two
+    # comparisons out of the And's short-circuit — so every denominator is
+    # clamped to >= 1 (semantics unchanged: the guard decides the rule)
+    mean_wl = n_alnum.cast("double") / F.greatest(n_words, F.lit(1))
+    n_symbols = (F.regexp_count(t, F.lit("#"))
+                 + F.regexp_count(t, F.lit(r"\.\.\.")))
+    ws_toks = F.split(F.trim(t), r"\s+")
+    n_ws = F.when(F.length(F.trim(t)) == 0, F.lit(0)).otherwise(F.size(ws_toks))
+    n_alpha_toks = F.when(
+        F.length(F.trim(t)) == 0, F.lit(0)).otherwise(
+        F.size(F.filter(ws_toks, lambda x: x.rlike("[A-Za-z]"))))
+    return {
+        "ok_word_count": (n_words >= min_words) & (n_words <= max_words),
+        "ok_mean_word_len": (n_words > 0) & (mean_wl >= min_mean_word_len)
+                            & (mean_wl <= max_mean_word_len),
+        "ok_symbol_ratio": (n_words > 0) & (
+            n_symbols.cast("double") / F.greatest(n_words, F.lit(1))
+            <= max_symbol_word_ratio),
+        "ok_alpha_words": (n_ws > 0) & (
+            n_alpha_toks.cast("double") / F.greatest(n_ws, F.lit(1))
+            >= min_alpha_word_frac),
+        "ok_stopwords": stopword_hits(t, "en") >= min_stopword_hits,
+    }
+
+
+def gopher_keep(t: Column, **thresholds) -> Column:
+    """Single boolean: the doc passes every Gopher rule."""
+    rules = list(gopher_rule_columns(t, **thresholds).values())
+    out = rules[0]
+    for r in rules[1:]:
+        out = out & r
+    return out
+
+
+def line_dedup(df: DataFrame, min_docs: int = 2, text_col: str = "text",
+               id_col: str = "doc_id", cache_out: list | None = None
+               ) -> DataFrame:
+    """CCNet/RefinedWeb-style duplicated-line removal: any line whose
+    trimmed form occurs in >= ``min_docs`` DISTINCT documents (cookie
+    banners, nav menus, copyright footers — the chrome whole-doc dedup
+    never touches) is removed from EVERY document; empty/whitespace-only
+    lines are structural and never counted or removed.  Removing from all
+    occurrences (rather than keep-first) makes the result independent of
+    document order — a requirement for a deterministic distributed pass.
+
+    Returns all original columns plus ``clean_text`` (kept lines joined
+    with newlines), ``n_lines`` and ``n_removed``.
+
+    100-TB shape: line text NEVER travels through a shuffle.  One
+    persisted narrow projection holds per-doc trimmed-line xxhash64
+    arrays (8 bytes/line); the document-frequency aggregation explodes
+    per-doc-DISTINCT hashes with map-side combine; the duplicate-hash
+    join returns only REMOVED (doc, position) pairs — ints — which group
+    to a per-doc removal list; the rebuild is a second corpus scan that
+    drops lines by position.  The only corpus-sized exchange is the
+    rebuild's join on ``id_col``, and AQE broadcasts the removal side
+    whenever duplication is sparse.
+    """
+    lines = F.split(F.col(text_col), "\n")
+    lh = F.transform(
+        lines, lambda l: F.when(F.length(F.trim(l)) > 0,
+                                F.xxhash64(F.trim(l))))
+    g = df.select(F.col(id_col), lh.alias("__lh")).persist()
+    if cache_out is not None:
+        cache_out.append(g)
+    nonnull = F.filter("__lh", lambda h: h.isNotNull())
+    dfreq = (g.select(F.explode(F.array_distinct(nonnull)).alias("__h"))
+             .groupBy("__h").agg(F.count("*").alias("__nd")))
+    common = dfreq.where(F.col("__nd") >= min_docs).select("__h")
+    occ = (g.select(F.col(id_col),
+                    F.posexplode("__lh").alias("__pos", "__h"))
+           .where(F.col("__h").isNotNull()))
+    removed = (occ.join(common, "__h")
+               .groupBy(id_col)
+               .agg(F.collect_list("__pos").alias("__rm")))
+    rm = F.coalesce(F.col("__rm"), F.array().cast("array<int>"))
+    kept = F.filter(lines, lambda l, i: ~F.array_contains(rm, i))
+    return (df.join(removed, id_col, "left")
+            .withColumn("clean_text", F.concat_ws("\n", kept))
+            .withColumn("n_lines", F.size(lines))
+            .withColumn("n_removed", F.size(rm))
+            .drop("__rm"))
+
+
+def strip_common_ngrams(df: DataFrame, n: int = 5, min_docs: int = 2,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        cache_out: list | None = None) -> DataFrame:
+    """Substring-level dedup ("Deduplicating Training Data Makes Language
+    Models Better", Lee et al. 2021 — word-granularity variant): every
+    word position covered by an ``n``-gram window that occurs in >=
+    ``min_docs`` DISTINCT documents is REMOVED, and the doc is rebuilt
+    from the surviving words.  This is the rewrite companion to
+    ``boilerplate_ngram_stats`` (which only reports coverage): license
+    blurbs, quote chains and templated spans are cut even when the
+    containing docs are not near-duplicates of anything.
+
+    Granularity note: the rebuild operates on the normalized word stream
+    (lowercased, whitespace-collapsed — the same stream the n-grams are
+    defined on), so ``clean_text`` is normalized words joined by single
+    spaces.  Returns original columns + ``clean_text``, ``n_words``,
+    ``n_covered_words``.
+
+    100-TB shape (same discipline as ``line_dedup``): grams travel as
+    8-byte xxhash64 keys; the persisted projection is (id, gram-hash
+    array); the document-frequency agg explodes per-doc-DISTINCT hashes
+    map-side-combined; the common-gram join emits only HIT (id, window)
+    int pairs; the rebuild expands windows to covered positions JVM-side
+    and filters by index — word text never crosses an exchange, and the
+    only corpus-sized exchange is the rebuild's join on ``id_col``
+    (AQE-broadcast when duplication is sparse)."""
+    words = _norm_word_array(F.col(text_col))
+    idx = F.when(F.size(words) >= n,
+                 F.sequence(F.lit(1), F.size(words) - n + 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    grams = F.transform(idx, lambda i: F.xxhash64(
+        F.concat_ws(" ", F.slice(words, i, n))))
+    g = df.select(F.col(id_col), grams.alias("__g")).persist()
+    if cache_out is not None:
+        cache_out.append(g)
+    dfreq = (g.select(F.explode(F.array_distinct("__g")).alias("__h"))
+             .groupBy("__h").agg(F.count("*").alias("__nd")))
+    common = dfreq.where(F.col("__nd") >= min_docs).select("__h")
+    hits = (g.select(F.col(id_col),
+                     F.posexplode("__g").alias("__pos", "__h"))
+            .join(common, "__h")
+            .groupBy(id_col).agg(F.collect_list("__pos").alias("__w")))
+    wins = F.coalesce(F.col("__w"), F.array().cast("array<int>"))
+    covered = F.array_distinct(F.flatten(F.transform(
+        wins, lambda w: F.sequence(w, w + n - 1))))
+    kept = F.filter(words, lambda x, i: ~F.array_contains(covered, i))
+    return (df.join(hits, id_col, "left")
+            .withColumn("clean_text", F.concat_ws(" ", kept))
+            .withColumn("n_words", F.size(words))
+            .withColumn("n_covered_words", F.size(covered))
+            .drop("__w"))

@@ -86,3 +86,55 @@ def decontaminate(train: DataFrame, eval_df: DataFrame,
                               bands, n, text_col, id_col) \
         .select(F.col("train_id").alias(id_col)).distinct()
     return clean.join(F.broadcast(near), id_col, "left_anti")
+
+
+def contamination_ngrams(train: DataFrame, eval_df: DataFrame, n: int = 13,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """GPT-3/PaLM-style n-gram collision decontamination: a train doc is
+    contaminated when ANY of its word ``n``-grams also occurs in the eval
+    set (the published method uses 13-grams).  Deterministic — unlike the
+    LSH tier there is no hash-seeded banding, so results are exactly
+    SQL-mirrorable.
+
+    Returns (id, n_grams, n_hit_grams) for every train doc with at least
+    one colliding window.
+
+    100-TB shape: n-grams travel as 8-byte xxhash64 keys.  The eval gram
+    set is eval-sized (thousands of docs), so it broadcast-joins against
+    the exploded train grams — the train corpus is scanned once and never
+    shuffled; the only exchange groups (id, hit) pairs for the per-doc
+    count, and only HITS reach it.
+    """
+    from python_hll_spark.functions.text import _norm_word_array
+
+    def gram_hashes(col):
+        words = _norm_word_array(col)
+        idx = F.when(F.size(words) >= n,
+                     F.sequence(F.lit(1), F.size(words) - n + 1)) \
+            .otherwise(F.array().cast("array<int>"))
+        return F.transform(idx, lambda i: F.xxhash64(
+            F.concat_ws(" ", F.slice(words, i, n))))
+
+    eval_grams = (eval_df
+                  .select(F.explode(gram_hashes(F.col(text_col)))
+                          .alias("__h"))
+                  .distinct())
+    t = train.select(F.col(id_col),
+                     gram_hashes(F.col(text_col)).alias("__g"))
+    hits = (t.select(id_col, F.size("__g").alias("n_grams"),
+                     F.explode(F.array_distinct("__g")).alias("__h"))
+            .join(F.broadcast(eval_grams), "__h")
+            .groupBy(id_col, "n_grams")
+            .agg(F.count("*").alias("n_hit_grams")))
+    return hits
+
+
+def decontaminate_ngrams(train: DataFrame, eval_df: DataFrame, n: int = 13,
+                         text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Train rows sharing NO word n-gram with the eval set (broadcast
+    anti-join against the collision report's ids)."""
+    bad = contamination_ngrams(train, eval_df, n, text_col, id_col) \
+        .select(id_col)
+    return train.join(F.broadcast(bad), id_col, "left_anti")

@@ -54,6 +54,22 @@ class CorpusFilterConfig:
     model_weights: object = None      # np.ndarray of a trained model
     model_buckets: int = 1 << 18
     model_seed: int = 7
+    # duplicated-line removal (CCNet/RefinedWeb): rewrites text_col BEFORE
+    # the stats scan so quality is scored on the de-chromed text.  Runs on
+    # the train side only — eval decontamination's near tier absorbs the
+    # resulting eval-vs-train drift
+    line_dedup_min_docs: int | None = None
+    # substring-level dedup (Lee et al. 2021, word granularity): strips
+    # cross-doc-duplicated n-gram spans after line dedup; NOTE the rebuilt
+    # text is the normalized word stream (lowercased, space-joined)
+    strip_spans_min_docs: int | None = None
+    strip_spans_n: int = 5
+    # Gopher-style rule gate ANDed into the same observed filter scan as
+    # the heuristic quality predicate (zero extra passes)
+    gopher_rules: bool = False
+    # extra n-gram collision decontamination tier (GPT-3 13-gram method;
+    # needs eval_df).  None disables
+    decontaminate_ngram_n: int | None = None
 
 
 def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
@@ -63,10 +79,13 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
     columns plus the computed quality/lang columns.
 
     Full modern recipe when all stages are enabled:
-        domain blocklist -> URL dedup -> PII redaction -> stats/filters
+        domain blocklist -> URL dedup -> PII redaction -> line dedup
+        -> duplicated-span strip -> stats/filters (+ Gopher rule gate,
+           same scan)
         -> model-score filter (adds a ``score`` column)
         -> per-domain cap -> exact dedup -> near-dup removal
-        -> eval-set decontamination (pass ``eval_df``) -> mixture rebalance
+        -> eval-set decontamination (pass ``eval_df``; exact + LSH near
+           + optional n-gram collision tier) -> mixture rebalance
     """
     cfg = cfg or CorpusFilterConfig()
 
@@ -88,6 +107,23 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
             eval_df = eval_df.withColumn(text_col,
                                          redact_pii(F.col(text_col)))
 
+    line_caches: list = []
+    if cfg.line_dedup_min_docs:
+        from python_hll_spark.functions.text import line_dedup
+        df = (line_dedup(df, cfg.line_dedup_min_docs, text_col=text_col,
+                         id_col=id_col, cache_out=line_caches)
+              .withColumn(text_col, F.col("clean_text"))
+              .drop("clean_text", "n_lines", "n_removed"))
+
+    if cfg.strip_spans_min_docs:
+        from python_hll_spark.functions.text import strip_common_ngrams
+        df = (strip_common_ngrams(df, n=cfg.strip_spans_n,
+                                  min_docs=cfg.strip_spans_min_docs,
+                                  text_col=text_col, id_col=id_col,
+                                  cache_out=line_caches)
+              .withColumn(text_col, F.col("clean_text"))
+              .drop("clean_text", "n_words", "n_covered_words"))
+
     # Single-scan metrics: rows_in and rows_after_quality both come from ONE
     # pass over the scored frame (observe() metrics piggyback on the action
     # that materializes the persisted exact-dedup output), so the 100 TB
@@ -99,6 +135,12 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
                  & (F.col("n_words") >= cfg.min_words)
                  & (F.col("n_words") <= cfg.max_words)
                  & (F.col("lang_pred").isin(*cfg.allowed_langs)))
+    if cfg.gopher_rules:
+        from python_hll_spark.functions.text import gopher_keep
+        # same observed scan — the rule gate adds expressions, not passes
+        keep_pred = keep_pred & gopher_keep(
+            F.col(text_col), min_words=cfg.min_words,
+            max_words=cfg.max_words)
     obs = Observation("corpus_in")
     observed = scored.observe(
         obs, F.count(F.lit(1)).alias("rows_in"),
@@ -137,6 +179,10 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
                     .where(F.col("__rn") == 1).drop("__rn")
                     .persist())
     metrics: dict = {"rows_after_exact_dedup": exact_unique.count()}
+    # the exact-dedup cache is materialized; the line-hash projection
+    # cache (if the line-dedup stage ran) is no longer reachable
+    for c in line_caches:
+        c.unpersist()
     metrics["rows_in"] = int(obs.get["rows_in"])
     metrics["rows_after_quality"] = int(obs.get["rows_after_quality"] or 0)
     if model_obs is not None:
@@ -170,6 +216,16 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
         metrics["rows_after_decontamination"] = clean.count()
         upstream.unpersist()
 
+    if eval_df is not None and cfg.decontaminate_ngram_n:
+        from python_hll_spark.operators.decontaminate import \
+            decontaminate_ngrams
+        upstream = clean
+        clean = decontaminate_ngrams(
+            clean, eval_df, cfg.decontaminate_ngram_n,
+            text_col=text_col, id_col=id_col).persist()
+        metrics["rows_after_ngram_decontamination"] = clean.count()
+        upstream.unpersist()
+
     if cfg.mixture_weights:
         from python_hll_spark.operators.sampling import mixture_sample
         clean, plan = mixture_sample(clean, cfg.mixture_weights,
@@ -182,9 +238,10 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
 
     metrics["rows_out"] = metrics.get(
         "rows_after_mixture",
-        metrics.get("rows_after_decontamination",
-                    metrics.get("rows_after_near_dedup",
-                                metrics["rows_after_exact_dedup"])))
+        metrics.get("rows_after_ngram_decontamination",
+                    metrics.get("rows_after_decontamination",
+                                metrics.get("rows_after_near_dedup",
+                                            metrics["rows_after_exact_dedup"]))))
     return clean, metrics
 
 

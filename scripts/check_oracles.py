@@ -16,6 +16,8 @@ import __spark_entry__ as entrymod  # noqa: E402
 from python_hll_spark.plans.session import get_spark  # noqa: E402
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+# optional argv[2:]: restrict to named queries (spot-check during dev)
+ONLY = set(sys.argv[2:])
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
@@ -48,6 +50,8 @@ def main():
     failures = []
     timings = {}
     for name, fn in qs.items():
+        if ONLY and name not in ONLY:
+            continue
         t0 = time.time()
         try:
             sdf = fn(spark, SF_DIR)

@@ -381,3 +381,77 @@ def test_with_classifier_score_matches_join_path(spark, documents):
     assert all(abs(via_pass[k] - via_join[k]) < 1e-9 for k in via_join)
     out = with_classifier_score(docs, n_buckets=1 << 12)
     assert out.columns == docs.columns + ["score"]
+
+
+def test_prepare_corpus_curation_stages(spark, documents):
+    """Round-5 stages wired through prepare_corpus: line dedup rewrites
+    text BEFORE the stats scan, the Gopher rule gate rides the same
+    observed scan, and the n-gram collision tier catches eval leaks the
+    exact tier misses once line-dedup has altered the train text."""
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    framed = documents.limit(200).select(
+        "doc_id", "source",
+        F.concat_ws("\n", F.lit("SHARED NAV"), F.col("text"),
+                    F.lit("SHARED FOOTER")).alias("text"))
+    # one gibberish doc: passes the lax heuristic filter but fails the
+    # Gopher alpha-word/stopword/mean-word-length rules
+    gibberish = spark.createDataFrame(
+        [(990000, framed.select("source").first()["source"],
+          " ".join(str(i) for i in range(80)))],
+        "doc_id long, source string, text string")
+    docs = framed.unionByName(gibberish)
+    # eval set keeps the boilerplate frame; line-dedup strips it from the
+    # train side, so the exact-fingerprint tier CANNOT match any more —
+    # only the n-gram tier can catch the shared body content
+    eval_df = docs.where(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 999000).alias("doc_id"), "text")
+
+    cfg = CorpusFilterConfig(
+        min_quality=0.0, min_words=1, run_near_dedup=False,
+        near_dup_threshold=1.01,   # near tier can't fire either
+        line_dedup_min_docs=2, gopher_rules=True,
+        decontaminate_ngram_n=5)
+    clean, metrics = prepare_corpus(docs, cfg, eval_df=eval_df)
+
+    texts = [r["text"] for r in clean.select("text").collect()]
+    assert texts, "pipeline emptied the corpus"
+    assert all("SHARED NAV" not in t and "SHARED FOOTER" not in t
+               for t in texts)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    # gopher gate dropped the gibberish doc (heuristic alone kept it)
+    assert 990000 not in kept
+    assert metrics["rows_after_quality"] < metrics["rows_in"]
+    # exact+near decontamination could not fire (frames diverged / J>1);
+    # the n-gram tier alone removed every eval-source doc
+    assert metrics["rows_after_decontamination"] == \
+        metrics["rows_after_exact_dedup"]
+    assert metrics["rows_after_ngram_decontamination"] < \
+        metrics["rows_after_decontamination"]
+    assert not (kept & {r["doc_id"] for r in
+                        framed.where(F.col("doc_id") % 25 == 0).collect()})
+    assert metrics["rows_out"] == metrics["rows_after_ngram_decontamination"]
+
+
+def test_prepare_corpus_strip_spans_stage(spark, documents):
+    """Substring-level dedup inside prepare_corpus: cross-doc-duplicated
+    5-gram spans are stripped before the stats scan (the corpus's
+    embedded near-dup pairs guarantee real coverage)."""
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    # full sf0.01 corpus: its embedded near-dup pairs guarantee coverage
+    docs = documents.select("doc_id", "source", "text")
+    cfg = CorpusFilterConfig(min_quality=0.0, min_words=0,
+                             run_near_dedup=False, strip_spans_min_docs=2)
+    clean, metrics = prepare_corpus(docs, cfg)
+    norm = {r["doc_id"]: " ".join(r["text"].lower().strip().split())
+            for r in docs.collect()}
+    out = {r["doc_id"]: r["text"] for r in
+           clean.select("doc_id", "text").collect()}
+    assert metrics["rows_out"] == len(out) > 0
+    # every surviving text is a subsequence-by-removal of its normalized
+    # original (never longer), and at least one actually shrank
+    assert all(len(out[d]) <= len(norm[d]) for d in out)
+    assert any(len(out[d]) < len(norm[d]) for d in out)

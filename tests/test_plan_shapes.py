@@ -190,3 +190,95 @@ def test_incremental_near_dedup_store_never_shuffles(spark, tmp_path):
             assert "Exchange" not in l, \
                 f"store rows shuffled before their join:\n{l}"
         assert joined, "no join found above store scan"
+
+
+def _final_plan(df) -> str:
+    # AQE: materialize first so the printed plan is the FINAL one, and cut
+    # the trailing "== Initial Plan ==" echo (pre-AQE: SMJ + Exchanges)
+    df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    return plan.split("== Initial Plan ==")[0]
+
+
+def _assert_text_scan_feeds_broadcast_join(plan: str):
+    """The corpus text scan must stream into a BroadcastHashJoin — no
+    Exchange between reading `text` and its rebuild join."""
+    # literal "\n" inside expressions (e.g. concat_ws separators) wraps a
+    # node across physical lines; keep only real tree-node lines so the
+    # indent walk sees consistent depths
+    lines = [l for l in plan.splitlines()
+             if re.match(r"^[\s:+|-]*(\*\(\d+\)\s*)?[A-Za-z]", l)]
+    text_scans = [i for i, l in enumerate(lines)
+                  if "FileScan parquet" in l and "text" in l]
+    assert text_scans, "no text scan found"
+    checked = 0
+    for i in text_scans:
+        depth = len(lines[i]) - len(lines[i].lstrip(" :+-"))
+        for j in range(i - 1, -1, -1):
+            l = lines[j]
+            d = len(l) - len(l.lstrip(" :+-"))
+            if d >= depth:
+                continue
+            depth = d
+            if "InMemoryRelation" in l:
+                break    # the cached hash-projection build, not the rebuild
+            if "Join" in l:
+                assert "BroadcastHashJoin" in l, l
+                checked += 1
+                break
+            assert "Exchange" not in l, \
+                f"text rows shuffled before the rebuild join:\n{l}"
+    assert checked >= 1, "rebuild join not found above any text scan"
+
+
+def test_line_dedup_plan_text_never_shuffles(spark):
+    """line_dedup's 100 TB shape in the executed plan: exchanges carry
+    only 8-byte hashes / int positions, the persisted projection is the
+    2-column (id, line-hash) frame reused by both branches, the df agg is
+    map-side combined, and the rebuild joins text by broadcast."""
+    import pyspark.sql.functions as F
+
+    from python_hll_spark.functions.text import line_dedup
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", F.concat_ws(
+            "\n", F.lit("NAV"), F.col("text"), F.lit("FOOT")).alias("text"))
+    caches = []
+    out = line_dedup(docs, 2, cache_out=caches).select(
+        "doc_id", "n_lines", "n_removed")
+    plan = _final_plan(out)
+    for c in caches:
+        c.unpersist()
+
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l and ("__h#" in l or "doc_id#" in l), l
+    m = re.search(r"InMemoryTableScan \[([^\]]*)\]", plan)
+    assert m and {c.split("#")[0] for c in m.group(1).split(", ")} == \
+        {"doc_id", "__lh"}, m
+    assert "partial_count" in plan          # map-side combined df agg
+    _assert_text_scan_feeds_broadcast_join(plan)
+
+
+def test_strip_spans_plan_text_never_shuffles(spark):
+    """Same contract for substring-level dedup: gram hashes shuffle,
+    words never do."""
+    from python_hll_spark.functions.text import strip_common_ngrams
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .select("doc_id", "text")
+    caches = []
+    out = strip_common_ngrams(docs, n=5, min_docs=2, cache_out=caches) \
+        .select("doc_id", "n_words", "n_covered_words")
+    plan = _final_plan(out)
+    for c in caches:
+        c.unpersist()
+
+    for l in plan.splitlines():
+        if "Exchange hashpartitioning" in l:
+            assert "text#" not in l and ("__h#" in l or "doc_id#" in l), l
+    m = re.search(r"InMemoryTableScan \[([^\]]*)\]", plan)
+    assert m and {c.split("#")[0] for c in m.group(1).split(", ")} == \
+        {"doc_id", "__g"}, m
+    assert "partial_count" in plan
+    _assert_text_scan_feeds_broadcast_join(plan)
