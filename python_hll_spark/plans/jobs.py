@@ -30,6 +30,14 @@ weekly against daily refreshes; probe results are byte-identical):
 
     python -m python_hll_spark.plans.jobs compact-near-store \
         --store /data/stores/near --target-partitions 64
+
+Full web-curation recipe (all round-5 filter stages on):
+
+    python -m python_hll_spark.plans.jobs prepare-corpus \
+        --input /data/crawl --output /data/clean \
+        --eval-input /data/evalsets --redact-pii --gopher-rules \
+        --line-dedup-min-docs 2 --strip-spans-min-docs 2 \
+        --decontaminate-ngram-n 13
 """
 
 from __future__ import annotations
@@ -105,7 +113,12 @@ def _prepare_corpus(args) -> None:
         near_dup_threshold=args.near_dup_threshold,
         run_near_dedup=not args.skip_near_dedup,
         redact_pii=args.redact_pii,
-        mixture_weights=weights)
+        mixture_weights=weights,
+        line_dedup_min_docs=args.line_dedup_min_docs or None,
+        strip_spans_min_docs=args.strip_spans_min_docs or None,
+        strip_spans_n=args.strip_spans_n,
+        gopher_rules=args.gopher_rules,
+        decontaminate_ngram_n=args.decontaminate_ngram_n or None)
     eval_df = spark.read.parquet(args.eval_input) if args.eval_input else None
     clean, metrics = prepare_corpus(df, cfg, eval_df=eval_df)
     clean.write.mode("overwrite").parquet(args.output)
@@ -258,6 +271,17 @@ def main(argv=None) -> None:
     cp.add_argument("--near-dup-threshold", type=float, default=0.9)
     cp.add_argument("--skip-near-dedup", action="store_true")
     cp.add_argument("--redact-pii", action="store_true")
+    cp.add_argument("--line-dedup-min-docs", type=int, default=0,
+                    help="remove lines duplicated across >= N docs (0=off)")
+    cp.add_argument("--strip-spans-min-docs", type=int, default=0,
+                    help="strip word n-gram spans duplicated across >= N "
+                         "docs (0=off)")
+    cp.add_argument("--strip-spans-n", type=int, default=5)
+    cp.add_argument("--gopher-rules", action="store_true",
+                    help="AND the Gopher rule gate into the quality filter")
+    cp.add_argument("--decontaminate-ngram-n", type=int, default=0,
+                    help="extra n-gram collision decontamination tier "
+                         "(needs --eval-input; 0=off)")
     cp.add_argument("--mixture-weights", default="",
                     help="comma list of group=weight, e.g. web=1,code=2")
     cp.set_defaults(fn=_prepare_corpus)

@@ -76,7 +76,8 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
     res = subprocess.run(
         [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
          "prepare-corpus", "--input", inp, "--output", out,
-         "--eval-input", ev, "--min-quality", "0.0", "--redact-pii"],
+         "--eval-input", ev, "--min-quality", "0.0", "--redact-pii",
+         "--line-dedup-min-docs", "2", "--decontaminate-ngram-n", "5"],
         capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path))
     assert res.returncode == 0, res.stderr[-2000:]
     final = json.loads(res.stdout.strip().splitlines()[-1])
