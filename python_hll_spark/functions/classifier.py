@@ -116,9 +116,8 @@ def with_classifier_score(df: DataFrame, text_col: str = "text",
     ``df.where(F.col("score") >= t)`` composes directly.  Scores are
     identical to ``classifier_scores`` (same kernel)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    from python_hll_spark.functions.murmur3 import murmur3_64
+    from python_hll_spark.functions.murmur3 import word_hash_segments
 
     nb = np.uint64(n_buckets)
     text_idx = df.columns.index(text_col)
@@ -129,22 +128,12 @@ def with_classifier_score(df: DataFrame, text_col: str = "text",
                        dtype=np.float32)
         for batch in batches:
             txt = batch.column(text_idx)
-            if isinstance(txt, pa.ChunkedArray):
-                txt = txt.combine_chunks()
             # same tokenization as dedup.tokenize_word_hashes: lowercase,
-            # whitespace split, empty strings masked, murmur3 word hashes
-            words = pc.utf8_split_whitespace(pc.utf8_lower(txt))
-            offs = words.offsets.to_numpy(zero_copy_only=False) \
-                .astype(np.int64, copy=False)
-            offs = offs - offs[0]
-            flat_words = words.flatten()
-            keep = pc.greater(pc.utf8_length(flat_words), 0)
-            keep_np = keep.to_numpy(zero_copy_only=False)
-            csum = np.concatenate(
-                [[0], np.cumsum(keep_np.astype(np.int64))])
-            counts = csum[offs[1:]] - csum[offs[:-1]]
-            flat = np.asarray(murmur3_64(flat_words.filter(keep)),
-                              dtype=np.uint64)
+            # whitespace split, murmur3 word hashes (word_hash_segments —
+            # buffer-tail-safe; see its docstring for the pyarrow
+            # utf8_split_whitespace overread this avoids)
+            hashes, counts = word_hash_segments(txt)
+            flat = hashes.view(np.uint64)
             tok_offs = np.concatenate(
                 [[0], np.cumsum(counts)]).astype(np.int64)
             score = _score_segments(flat, tok_offs, w, nb, bias, bigrams)

@@ -124,23 +124,35 @@ def _mix_k2(k2: np.ndarray) -> np.ndarray:
 
 
 def murmur3_x64_128_buffers(data: np.ndarray, offsets: np.ndarray,
-                            seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+                            seed: int = 0,
+                            lengths: np.ndarray | None = None
+                            ) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized murmur3 x64_128 over n variable-length byte strings laid
     out Arrow-style: ``data`` uint8 flat buffer, ``offsets`` int64 array of
     n+1 positions.  Returns (h1, h2) uint64 arrays of length n.
+
+    With ``lengths`` given, ``offsets`` is instead an array of n string
+    START positions and the strings may sit anywhere in ``data`` (they need
+    not tile it) — the segment shape ``word_hash_segments`` hashes word
+    extents straight out of a document buffer with the inter-word gaps
+    left in place.
 
     Per 16-byte block index the kernel gathers that block for every string
     long enough to have it and advances all lanes at once; the zero-value
     tail mixes are XOR-identity, so no masking is needed in the tail step.
     """
     offsets = offsets.astype(np.int64, copy=False)
-    lengths = np.diff(offsets)
+    if lengths is None:
+        lengths = np.diff(offsets)
+        offsets = offsets[:-1]
+    else:
+        lengths = lengths.astype(np.int64, copy=False)
     n = len(lengths)
     h1 = np.full(n, seed & _M, dtype=np.uint64)
     h2 = h1.copy()
     nblocks = lengths // 16
     max_blocks = int(nblocks.max()) if n else 0
-    starts = offsets[:-1]
+    starts = offsets
     byte_idx8 = np.arange(8, dtype=np.int64)
     for b in range(max_blocks):
         active = np.nonzero(nblocks > b)[0]
@@ -207,6 +219,78 @@ def murmur3_64(values, seed: int = 0) -> np.ndarray:
             if data_buf is not None else np.empty(0, dtype=np.uint8))
     h1, _ = murmur3_x64_128_buffers(data, offsets, seed=seed)
     return h1.view(np.int64)
+
+
+_ASCII_WS = np.zeros(256, dtype=bool)
+_ASCII_WS[[9, 10, 11, 12, 13, 32]] = True
+
+
+def word_hash_segments(txt, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+    """(word hashes int64 flat array, per-doc word counts int64 array) for
+    a pyarrow String/LargeString column: ASCII-lowercase, split on ASCII
+    whitespace, murmur3-x64-128-h1 each word — entirely in numpy over the
+    column's raw utf-8 buffer, then one segment-hash kernel call.
+
+    This deliberately does NOT use ``pc.utf8_split_whitespace``: pyarrow
+    16.1.0's splitter reads one byte past the logical end of the data
+    buffer when classifying the final character, and when that byte looks
+    like a UTF-8 continuation (e.g. ``0xff``) a trailing whitespace char
+    is glued onto the last token.  Standalone repro: a StringArray built
+    over a buffer slice of ``b"hello world " + b"\\xff"`` splits to
+    ``['hello', 'world ']``.  Spark-delivered batch buffers have arbitrary
+    bytes past their logical end, which made the last token's hash — and
+    thus MinHash signatures near the dedup threshold — nondeterministic
+    across partition layouts (the ``near_dedup_stream`` decontaminator
+    flake).
+
+    Semantics: whitespace is ASCII ``{\\t \\n \\v \\f \\r space}`` and
+    lowering is ASCII-only (multi-byte UTF-8 passes through unchanged) —
+    bytewise-deterministic, identical to the old kernel chain on ASCII
+    corpora.  Null and empty docs yield zero words.
+    """
+    import pyarrow as pa
+
+    if isinstance(txt, pa.ChunkedArray):
+        txt = txt.combine_chunks()
+    n_docs = len(txt)
+    empty = (np.empty(0, dtype=np.int64), np.zeros(n_docs, dtype=np.int64))
+    if n_docs == 0:
+        return empty
+    odt = np.int64 if pa.types.is_large_string(txt.type) else np.int32
+    raw_off = np.frombuffer(txt.buffers()[1], dtype=odt)
+    offs = raw_off[txt.offset:txt.offset + n_docs + 1].astype(np.int64)
+    data_buf = txt.buffers()[2]
+    if data_buf is None or offs[-1] == offs[0]:
+        return empty
+    base = offs[0]
+    d = np.frombuffer(data_buf, dtype=np.uint8)[base:offs[-1]].copy()
+    offs = offs - base
+    up = (d >= 65) & (d <= 90)
+    d[up] += 32
+    nonws = ~_ASCII_WS[d]
+    # word starts: non-ws byte whose in-doc predecessor is ws or absent;
+    # ends symmetric.  Doc boundaries break runs so words never span docs.
+    prev = np.empty_like(nonws)
+    prev[0] = False
+    prev[1:] = nonws[:-1]
+    nxt = np.empty_like(nonws)
+    nxt[-1] = False
+    nxt[:-1] = nonws[1:]
+    doc_first = offs[:-1]
+    prev[doc_first[doc_first < len(d)]] = False
+    doc_last = offs[1:] - 1
+    nonempty_doc = doc_last >= doc_first
+    nxt[doc_last[nonempty_doc]] = False
+    w_start = np.nonzero(nonws & ~prev)[0]
+    w_len = (np.nonzero(nonws & ~nxt)[0] + 1) - w_start
+    doc_idx = np.searchsorted(offs, w_start, side="right") - 1
+    if txt.null_count:
+        valid = txt.is_valid().to_numpy(zero_copy_only=False)
+        keep = valid[doc_idx]
+        w_start, w_len, doc_idx = w_start[keep], w_len[keep], doc_idx[keep]
+    counts = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    h1, _ = murmur3_x64_128_buffers(d, w_start, seed=seed, lengths=w_len)
+    return h1.view(np.int64), counts
 
 
 def murmur3_hash_frame(df, by: list[str], value_col: str,

@@ -124,40 +124,22 @@ def tokenize_word_hashes(df: DataFrame, text_col: str = "text",
     pre-tokenized shape ``minhash_signatures_tokens`` consumes.
 
     This replaces the interpreted JVM higher-order shingle expressions
-    (``F.transform`` + ``xxhash64`` never reach codegen) with Arrow utf8
-    kernels (``utf8_lower`` + ``utf8_split_whitespace`` on the chunk's
-    contiguous string buffer) and the vectorized murmur3 lane kernel over
-    the flat word buffer.  No per-row Python, no shuffle.
-
-    Note: Arrow's split emits empty strings around leading/trailing
-    whitespace (and for empty/null docs); those are masked out, so an
-    empty doc yields an EMPTY token list (sentinel signature downstream)
-    rather than the JVM path's hash-of-"" singleton."""
+    (``F.transform`` + ``xxhash64`` never reach codegen) with a pure-numpy
+    split+hash over the chunk's contiguous utf-8 buffer
+    (``word_hash_segments`` — NOT ``pc.utf8_split_whitespace``, whose
+    buffer-tail overread made the last token of a doc nondeterministic on
+    Spark-delivered buffers; see its docstring).  No per-row Python, no
+    shuffle.  Empty/null docs yield an EMPTY token list (sentinel
+    signature downstream)."""
     import pyarrow as pa
-    import pyarrow.compute as pc
 
-    from python_hll_spark.functions.murmur3 import murmur3_64
+    from python_hll_spark.functions.murmur3 import word_hash_segments
 
     df = fan_out_small_input(df)
 
     def gen(batches):
         for batch in batches:
-            txt = batch.column(text_col)
-            if isinstance(txt, pa.ChunkedArray):
-                txt = txt.combine_chunks()
-            words = pc.utf8_split_whitespace(pc.utf8_lower(txt))
-            offs = words.offsets.to_numpy(zero_copy_only=False) \
-                .astype(np.int64, copy=False)
-            offs = offs - offs[0]
-            flat = words.flatten()
-            keep = pc.greater(pc.utf8_length(flat), 0)
-            keep_np = keep.to_numpy(zero_copy_only=False)
-            # per-doc kept-word counts via prefix sums (reduceat mishandles
-            # empty segments); null docs have zero-extent offsets -> 0
-            csum = np.concatenate(
-                [[0], np.cumsum(keep_np.astype(np.int64))])
-            counts = csum[offs[1:]] - csum[offs[:-1]]
-            hashes = murmur3_64(flat.filter(keep))
+            hashes, counts = word_hash_segments(batch.column(text_col))
             tok_offsets = pa.array(
                 np.concatenate([[0], np.cumsum(counts)]).astype(np.int32))
             tok_arr = pa.ListArray.from_arrays(tok_offsets, pa.array(hashes))

@@ -148,3 +148,68 @@ def test_murmur3_hash_frame_matches_udf_and_keeps_nulls(spark):
     b = {r["g"]: (r["s"], r["n"]) for r in udf.collect()}
     assert a == b
     assert a["g"][1] == 500  # nulls not hashed
+
+
+# ------------------------------------------------- word_hash_segments
+def _whs_gt(texts):
+    """Ground truth: per-doc murmur3 hashes of ASCII-lowered,
+    ASCII-whitespace-split words."""
+    from python_hll_spark.functions.murmur3 import murmur3_64
+    table = str.maketrans({chr(c): chr(c + 32) for c in range(65, 91)})
+    out = []
+    for t in texts:
+        words = [] if t is None else \
+            "".join(t.translate(table)).split()
+        out.append([int(h) for h in murmur3_64(words)] if words else [])
+    return out
+
+
+def test_word_hash_segments_matches_python_split():
+    import pyarrow as pa
+
+    from python_hll_spark.functions.murmur3 import word_hash_segments
+
+    texts = ["  Hello   WORLD ", "", None, "one", "a\tb\nc",
+             "trailing space ", " leading", "x", "\t\n  ", "last"]
+    hashes, counts = word_hash_segments(pa.array(texts))
+    gt = _whs_gt(texts)
+    assert counts.tolist() == [len(g) for g in gt]
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    got = [hashes[offs[i]:offs[i + 1]].tolist() for i in range(len(texts))]
+    assert got == gt
+
+
+def test_word_hash_segments_buffer_tail_safe():
+    """Regression for the pyarrow utf8_split_whitespace overread: a text
+    ending in whitespace at the exact end of the data buffer, with a
+    UTF-8-continuation-looking byte (0xff) physically after it, must
+    still split off the trailing space.  pc.utf8_split_whitespace on this
+    exact layout returns ['hello', 'world '] (pyarrow 16.1.0), which made
+    MinHash signatures nondeterministic across Spark partition layouts."""
+    import pyarrow as pa
+
+    from python_hll_spark.functions.murmur3 import (murmur3_64,
+                                                    word_hash_segments)
+
+    payload = b"hello world "
+    offs = np.array([0, len(payload)], dtype=np.int32)
+    whole = pa.py_buffer(payload + b"\xff")
+    arr = pa.StringArray.from_buffers(
+        1, pa.py_buffer(offs.tobytes()), whole.slice(0, len(payload)))
+    hashes, counts = word_hash_segments(arr)
+    assert counts.tolist() == [2]
+    assert hashes.tolist() == [int(h) for h in murmur3_64(["hello", "world"])]
+
+
+def test_word_hash_segments_sliced_array():
+    import pyarrow as pa
+
+    from python_hll_spark.functions.murmur3 import word_hash_segments
+
+    texts = ["skip me", "Keep THIS one ", " and this", "not me"]
+    arr = pa.array(texts).slice(1, 2)
+    hashes, counts = word_hash_segments(arr)
+    gt = _whs_gt(texts[1:3])
+    offs = np.concatenate([[0], np.cumsum(counts)])
+    got = [hashes[offs[i]:offs[i + 1]].tolist() for i in range(2)]
+    assert got == gt
