@@ -445,6 +445,36 @@ def q_embedding_dup_recall(spark, sf_dir):
     return emb.select("vec_id").join(found, "vec_id")
 
 
+def q_semdedup_embeddings(spark, sf_dir):
+    """SemDeDup cluster-partitioned semantic dedup, oracle-checked by
+    duplicate injection: every vector duplicated under a shifted id MUST
+    be dropped (identical vectors share a nearest k-means centroid, so the
+    within-cluster pass finds the cosine-1 pair and min-id keeps the
+    original) and every original MUST survive (max natural pairwise cosine
+    ~0.51 << 0.99, and cluster partitioning only ever REMOVES candidate
+    pairs).  max_cluster is left far above any cell population at test
+    scale so the check is exact; the operator's star-cap covers the 100-TB
+    path (pinned by tests/test_semdedup.py)."""
+    from python_hll_spark.operators.similarity import semdedup
+
+    emb = _read(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dup = emb.select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    kept = semdedup(emb.unionByName(dup), n_clusters=16, threshold=0.99,
+                    max_cluster=1 << 20)
+    kept_flag = kept.select("vec_id", F.lit(True).alias("__k"))
+    return (emb.select("vec_id")
+            .join(kept_flag, "vec_id", "left")
+            .withColumn("orig_kept", F.coalesce("__k", F.lit(False)))
+            .drop("__k")
+            .join(kept_flag.select((F.col("vec_id") - 1000000)
+                                   .alias("vec_id"),
+                                   F.col("__k").alias("__dk")),
+                  "vec_id", "left")
+            .select("vec_id", "orig_kept",
+                    (~F.coalesce(F.col("__dk"), F.lit(False)))
+                    .alias("dup_removed")))
+
+
 def q_seqs_ndv_tokens_by_source(spark, sf_dir):
     """North-star query on the input_hint token table (synthesized
     deterministically; no registered oracle view exists for it)."""
@@ -1537,7 +1567,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # driver-checked evidence.
     return {
         "hll_ndv_users_by_event_type": q_hll_ndv_users_by_event_type,
-        "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
         "hll_ndv_words_by_source": q_hll_ndv_words_by_source,
         "hll_ndv_users_by_type_day": q_hll_ndv_users_by_type_day,
         "hll_ndv_murmur3_interop": q_hll_ndv_murmur3_interop,
@@ -1586,9 +1615,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": q_line_dedup_documents,
         "ngram_decontaminate_documents": q_ngram_decontaminate_documents,
         "strip_spans_documents": q_strip_spans_documents,
-        # same n-gram kernel family as strip_spans (the stronger rewrite
-        # op above keeps driver evidence if the tail is truncated)
+        # boilerplate_ngram_stats' ONLY query — promoted into the recording
+        # prefix (r04 cut at exactly 50) in place of the 2nd of five
+        # HLL-NDV prefix rows; parts_by_returnflag rides the tail below
         "boilerplate_documents": q_boilerplate_documents,
+        "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
         "bloom_fp_rate_bound": q_bloom_fp_rate_bound,
         "srp_ann_embeddings": q_srp_ann_embeddings,
@@ -1599,6 +1630,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_dup_invariant": q_winnowing_dup_invariant,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
         "minhash_tokens_dup_invariant": q_minhash_tokens_dup_invariant,
+        # embedding-dedup family already has driver evidence via
+        # embedding_dup_recall; the SemDeDup cluster variant rides the tail
+        "semdedup_embeddings": q_semdedup_embeddings,
     }
 
 
@@ -2208,6 +2242,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_dup_recall": """
             SELECT vec_id, TRUE AS dup_found FROM embeddings
+        """,
+        "semdedup_embeddings": """
+            SELECT vec_id, TRUE AS orig_kept, TRUE AS dup_removed
+            FROM embeddings
         """,
         "ann_topk_embeddings": """
             WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv

@@ -260,25 +260,95 @@ def embedding_dedup_pairs(df: DataFrame, threshold: float = 0.95,
         dim = len(df.select(vec_col).first()[0])
     tagged = with_srp_bucket(df.select(id_col, vec_col), vec_col,
                              dim, n_bits, seed)
-    sizes = (tagged.groupBy("bucket")
+    pairs = _capped_cosine_pairs(tagged, "bucket", id_col, vec_col,
+                                 max_bucket)
+    return (with_cosine(pairs, "va", "vb", out="cosine")
+            .where(F.col("cosine") >= threshold)
+            .select("id_a", "id_b", "cosine"))
+
+
+def _capped_cosine_pairs(tagged: DataFrame, bucket_col: str, id_col: str,
+                         vec_col: str, max_bucket: int) -> DataFrame:
+    """Within-bucket candidate pairs (id_a, id_b, va, vb) with the
+    oversize-star degradation — the shared core of the SRP and SemDeDup
+    cluster paths (``tagged`` has exactly one bucket row per vector; see
+    ``embedding_dedup_pairs`` for the cap rationale)."""
+    sizes = (tagged.groupBy(bucket_col)
              .agg(F.count("*").alias("__bsz"), F.min(id_col).alias("__rep")))
-    sized = tagged.join(sizes, "bucket")
+    sized = tagged.join(sizes, bucket_col)
     small = sized.where(F.col("__bsz") <= max_bucket)
     a = small.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"),
-                     "bucket")
+                     bucket_col)
     b = small.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"),
-                     "bucket")
-    pairs_small = (a.join(b, "bucket")
-                   .where(F.col("id_a") < F.col("id_b")).drop("bucket"))
-    reps = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+                     bucket_col)
+    pairs_small = (a.join(b, bucket_col)
+                   .where(F.col("id_a") < F.col("id_b")).drop(bucket_col))
+    reps = tagged.select(F.col(id_col).alias("id_a"),
+                         F.col(vec_col).alias("va"))
     pairs_large = (sized.where((F.col("__bsz") > max_bucket)
                                & (F.col(id_col) != F.col("__rep")))
                    .select(F.col("__rep").alias("id_a"),
                            F.col(id_col).alias("id_b"),
                            F.col(vec_col).alias("vb"))
                    .join(reps, "id_a"))
-    pairs = pairs_small.unionByName(pairs_large.select("id_a", "id_b",
-                                                       "va", "vb"))
+    return pairs_small.unionByName(pairs_large.select("id_a", "id_b",
+                                                      "va", "vb"))
+
+
+# ---------------------------------------------------------------- SemDeDup
+def semdedup_pairs(df: DataFrame, n_clusters: int = 64,
+                   threshold: float = 0.95, id_col: str = "vec_id",
+                   vec_col: str = "embedding", seed: int = 42,
+                   max_cluster: int = 4096,
+                   centroids: np.ndarray | None = None) -> DataFrame:
+    """SemDeDup-style semantic duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): partition the embedding space with the IVF k-means
+    coarse quantizer, then find cosine >= threshold pairs ONLY within a
+    cluster.  Unlike the SRP path (seeded random hyperplanes), the
+    partition is data-adapted — semantically close but not bit-identical
+    vectors land in the same cell — which is the published recipe for
+    pruning paraphrase-level duplicates from web-scale corpora.
+
+    100 TB shape: centroid training reads a bounded O(n_clusters*256)
+    sample (count-free TakeOrderedAndProject, see ``ivf_train``);
+    assignment is one shuffle-free Arrow matmul pass; the within-cluster
+    self-join keys on ONE int column; clusters beyond ``max_cluster``
+    degrade to star edges (O(B), the LSH/SRP pattern — approximate there:
+    a star only keeps pairs through the representative, the documented
+    trade at the cap).  In production ``n_clusters`` scales with the
+    corpus (the paper used 50K clusters for LAION), holding expected
+    cluster size — and so join cost per cluster — constant."""
+    if centroids is None:
+        centroids = ivf_train(df, n_clusters, vec_col, seed)
+    tagged = (with_ivf_lists(df.select(id_col, vec_col), vec_col,
+                             centroids, nprobe=1)
+              .withColumn("cluster", F.element_at(F.col("lists"), 1))
+              .drop("lists"))
+    pairs = _capped_cosine_pairs(tagged, "cluster", id_col, vec_col,
+                                 max_cluster)
     return (with_cosine(pairs, "va", "vb", out="cosine")
             .where(F.col("cosine") >= threshold)
             .select("id_a", "id_b", "cosine"))
+
+
+def semdedup(df: DataFrame, n_clusters: int = 64, threshold: float = 0.95,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             seed: int = 42, max_cluster: int = 4096,
+             centroids: np.ndarray | None = None) -> DataFrame:
+    """Semantic near-duplicate REMOVAL: ``semdedup_pairs`` -> connected
+    components -> keep the min-id representative per duplicate group (the
+    keep rule of the MinHash ``near_dedup`` family; the paper keeps one
+    member per group by centroid distance — min-id is the deterministic,
+    extra-join-free equivalent).  Returns the deduplicated rows of ``df``
+    (all original columns)."""
+    from python_hll_spark.operators.dedup import connected_components
+
+    pairs = semdedup_pairs(df, n_clusters, threshold, id_col, vec_col,
+                           seed, max_cluster, centroids) \
+        .select("id_a", "id_b")
+    comps = connected_components(pairs)
+    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
+    drop_ids = (comps.join(keep, "component")
+                .where(F.col("id") != F.col("keep_id"))
+                .select(F.col("id").alias(id_col)))
+    return df.join(drop_ids, on=id_col, how="left_anti")
