@@ -844,6 +844,25 @@ def q_pack_sequences_documents(spark, sf_dir):
         (F.max(F.size("tokens")) == 512).alias("max_len_ok"))
 
 
+def q_chunk_documents(spark, sf_dir):
+    """Context-window chunking (window 64, stride 16) over the word arrays
+    of every document, value-checked three ways per doc: the chunk count
+    and the summed chunk widths obey the closed-form laws SQL computes
+    from the word count alone, and the overlap-aware reconstruction
+    (first `stride` words of each chunk, whole last chunk) rebuilds the
+    original word array exactly (`ok`)."""
+    from python_hll_spark.operators.chunking import (chunk_tokens,
+                                                     reconstruct_ok)
+
+    docs = _read(spark, sf_dir, "documents")
+    words = docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(text, '[A-Za-z0-9]+', 0)")
+        .alias("tokens"))
+    chunked = chunk_tokens(words, 64, 16)
+    return reconstruct_ok(chunked, words, 64, 16)
+
+
 def q_sample_counts_by_source(spark, sf_dir):
     """Deterministic exactly-k per-group uniform sample (bottom-k of the
     id hash): per-source sampled counts are exactly least(k, group size),
@@ -875,6 +894,34 @@ def q_hash_split_documents(spark, sf_dir):
                      <= 4 * F.sqrt(F.col("__f") * (1 - F.col("__f"))
                                    / F.col("n_total")) + 1 / F.col("n_total"))
                     .alias("frac_ok")))
+
+
+def q_shuffle_shards_documents(spark, sf_dir):
+    """Deterministic training-shard shuffle, oracle-checked as invariants:
+    all 8 shards present, each within a 4-sigma binomial band of N/8
+    (seeded-hash balance), and each shard's positions an exact 1..n
+    sequence over n distinct doc ids (multiset conservation — a dropped or
+    doubled row breaks contiguity or the distinct count)."""
+    from python_hll_spark.operators.shards import shuffle_shards
+
+    K = 8
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    out = shuffle_shards(docs, K, seed=11)
+    total = docs.select(F.count("*").alias("n_total"))
+    per = (out.groupBy("shard")
+           .agg(F.count("*").alias("n"), F.min("pos").alias("lo"),
+                F.max("pos").alias("hi"),
+                F.countDistinct("pos").alias("npos"),
+                F.countDistinct("doc_id").alias("nids")))
+    p = 1.0 / K
+    return (per.crossJoin(F.broadcast(total))
+            .select("shard",
+                    (F.abs(F.col("n") - F.col("n_total") * p)
+                     <= 4 * F.sqrt(F.col("n_total") * p * (1 - p)))
+                    .alias("size_ok"),
+                    ((F.col("lo") == 1) & (F.col("hi") == F.col("n"))
+                     & (F.col("npos") == F.col("n"))
+                     & (F.col("nids") == F.col("n"))).alias("pos_ok")))
 
 
 def q_near_dedup_documents(spark, sf_dir):
@@ -1596,6 +1643,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_counts_by_source": q_sample_counts_by_source,
         "repetition_stats_documents": q_repetition_stats_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
+        "chunk_documents": q_chunk_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "hll_overlap_users": q_hll_overlap_users,
         "pii_stats_documents": q_pii_stats_documents,
@@ -1633,6 +1681,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding-dedup family already has driver evidence via
         # embedding_dup_recall; the SemDeDup cluster variant rides the tail
         "semdedup_embeddings": q_semdedup_embeddings,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
     }
 
 
@@ -2160,6 +2209,20 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS min_len_ok, TRUE AS max_len_ok
             FROM w
         """,
+        "chunk_documents": """
+            WITH w AS (SELECT doc_id,
+                              length(regexp_extract_all(text, '[A-Za-z0-9]+')) AS n
+                       FROM documents),
+                 c AS (SELECT doc_id, n,
+                              CASE WHEN n <= 64 THEN 1
+                                   ELSE CAST(floor((n - 64 + 15) / 16.0) AS BIGINT) + 1
+                              END AS n_chunks
+                       FROM w WHERE n > 0)
+            SELECT doc_id, n_chunks,
+                   (n + (n_chunks - 1) * 48)::BIGINT AS tok_total,
+                   TRUE AS ok
+            FROM c
+        """,
         "repetition_stats_documents": """
             WITH w AS (SELECT doc_id,
                        unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
@@ -2246,6 +2309,11 @@ def oracle_sql() -> dict[str, str]:
         "semdedup_embeddings": """
             SELECT vec_id, TRUE AS orig_kept, TRUE AS dup_removed
             FROM embeddings
+        """,
+        "shuffle_shards_documents": """
+            SELECT CAST(range AS INT) AS shard, TRUE AS size_ok,
+                   TRUE AS pos_ok
+            FROM range(8)
         """,
         "ann_topk_embeddings": """
             WITH probes AS (SELECT vec_id AS probe_id, embedding AS pv

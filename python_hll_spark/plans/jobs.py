@@ -31,6 +31,28 @@ weekly against daily refreshes; probe results are byte-identical):
     python -m python_hll_spark.plans.jobs compact-near-store \
         --store /data/stores/near --target-partitions 64
 
+Loader-facing shard layout (seeded global shuffle, run after
+prepare/refresh; deterministic for a given seed on any cluster size):
+
+    python -m python_hll_spark.plans.jobs write-shards \
+        --input /data/clean/2026-08-17 --output /data/shards/2026-08-17 \
+        --n-shards 1024 --seed 42
+
+Crawl-dump front door (JSONL -> documents-shaped parquet + quarantine
+lane; good + quarantined == input lines, so nothing silently vanishes):
+
+    python -m python_hll_spark.plans.jobs ingest-crawl \
+        --input /data/rawcrawl/2026-08-17.jsonl \
+        --output /data/crawl/2026-08-17 \
+        --quarantine /data/quarantine/2026-08-17 --min-chars 200
+
+Context-window chunking (long docs -> overlapping fixed-width chunks;
+run before packing when documents exceed the training window):
+
+    python -m python_hll_spark.plans.jobs chunk-corpus \
+        --input /data/clean/2026-08-17 --output /data/chunks/2026-08-17 \
+        --window 2048 --stride 1536
+
 Full web-curation recipe (all round-5 filter stages on):
 
     python -m python_hll_spark.plans.jobs prepare-corpus \
@@ -236,6 +258,61 @@ def _compact_near_store(args) -> None:
     spark.stop()
 
 
+def _write_shards(args) -> None:
+    """Seeded global shuffle of a prepared corpus into balanced training
+    shards under ``{output}/shard=K/`` — the loader-facing final step
+    after prepare/refresh.  Deterministic for a given seed regardless of
+    input layout or cluster size."""
+    from python_hll_spark.operators.shards import write_shards
+
+    spark = get_spark("write-shards")
+    df = spark.read.parquet(args.input)
+    write_shards(df, args.output, args.n_shards, seed=args.seed,
+                 id_col=args.id_col)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"rows": n, "n_shards": args.n_shards,
+                      "seed": args.seed}))
+    spark.stop()
+
+
+def _ingest_crawl(args) -> None:
+    """JSONL crawl dump -> documents-shaped parquet, with every rejected
+    line landing in the quarantine sink (raw line + reason) instead of
+    vanishing."""
+    from python_hll_spark.sources.crawl import (crawl_quarantine,
+                                                read_crawl_jsonl)
+
+    spark = get_spark("ingest-crawl")
+    good = read_crawl_jsonl(spark, args.input, source=args.source,
+                            min_chars=args.min_chars)
+    good.write.mode("overwrite").parquet(args.output)
+    n_good = spark.read.parquet(args.output).count()
+    n_bad = 0
+    if args.quarantine:
+        bad = crawl_quarantine(spark, args.input, min_chars=args.min_chars)
+        bad.write.mode("overwrite").parquet(args.quarantine)
+        n_bad = spark.read.parquet(args.quarantine).count()
+    print(json.dumps({"good": n_good, "quarantined": n_bad}))
+    spark.stop()
+
+
+def _chunk_corpus(args) -> None:
+    """Word-level context-window chunking of a documents-shaped corpus.
+    Zero-shuffle: chunk rows stream straight from the scan to the
+    writer."""
+    from python_hll_spark.operators.chunking import chunk_text_words
+
+    spark = get_spark("chunk-corpus")
+    df = spark.read.parquet(args.input)
+    out = chunk_text_words(df, args.window, args.stride,
+                           id_col=args.id_col)
+    out.write.mode("overwrite").parquet(args.output)
+    n = spark.read.parquet(args.output).count()
+    print(json.dumps({"chunks": n, "window": args.window,
+                      "stride": args.stride}))
+    spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="python_hll_spark.plans.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -323,6 +400,35 @@ def main(argv=None) -> None:
                     help="also compact this fingerprint store")
     cn.add_argument("--target-partitions", type=int, default=8)
     cn.set_defaults(fn=_compact_near_store)
+
+    ws = sub.add_parser("write-shards",
+                        help="seeded global shuffle into balanced "
+                             "training shards (shard=K/ directories)")
+    ws.add_argument("--input", required=True)
+    ws.add_argument("--output", required=True)
+    ws.add_argument("--n-shards", type=int, required=True)
+    ws.add_argument("--seed", type=int, default=42)
+    ws.add_argument("--id-col", default="doc_id")
+    ws.set_defaults(fn=_write_shards)
+
+    ic = sub.add_parser("ingest-crawl",
+                        help="JSONL crawl dump -> documents parquet "
+                             "+ quarantine lane")
+    ic.add_argument("--input", required=True)
+    ic.add_argument("--output", required=True)
+    ic.add_argument("--quarantine")
+    ic.add_argument("--source", default="crawl")
+    ic.add_argument("--min-chars", type=int, default=1)
+    ic.set_defaults(fn=_ingest_crawl)
+
+    ch = sub.add_parser("chunk-corpus",
+                        help="context-window chunking of long documents")
+    ch.add_argument("--input", required=True)
+    ch.add_argument("--output", required=True)
+    ch.add_argument("--window", type=int, required=True)
+    ch.add_argument("--stride", type=int, default=None)
+    ch.add_argument("--id-col", default="doc_id")
+    ch.set_defaults(fn=_chunk_corpus)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -206,3 +206,59 @@ def test_spark_submit_refresh_corpus_tokens(tmp_path, spark):
              spark.read.parquet(str(tmp_path / "out1")).collect()}
     assert kept1 == {"x3"}
     assert spark.read.parquet(fp_store).count() == 3
+
+
+@pytest.mark.slow
+def test_spark_submit_ingest_then_chunk(tmp_path, spark):
+    """The crawl front door then the chunker, via the real spark-submit
+    flow: JSONL dump -> documents parquet + quarantine (counts conserve),
+    then context-window chunks whose count obeys the closed-form law."""
+    import shutil
+    if shutil.which(SPARK_SUBMIT) is None:
+        pytest.skip("spark-submit not on PATH")
+
+    words = " ".join(f"w{i}" for i in range(25))
+    lines = [
+        json.dumps({"url": "https://a.example/1", "text": words}),
+        json.dumps({"url": "https://a.example/2", "text": "w0 w1 w2"}),
+        json.dumps({"text": "no url"}),
+        "garbage line {",
+    ]
+    dump = tmp_path / "dump.jsonl"
+    dump.write_text("\n".join(lines) + "\n")
+
+    zip_path = _make_pyfiles_zip(tmp_path)
+    job = os.path.join(REPO, "python_hll_spark", "plans", "jobs.py")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    docs = str(tmp_path / "docs")
+    quar = str(tmp_path / "quar")
+    chunks = str(tmp_path / "chunks")
+
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "ingest-crawl", "--input", str(dump), "--output", docs,
+         "--quarantine", quar, "--source", "cc-test"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    assert rec == {"good": 2, "quarantined": 2}
+
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "chunk-corpus", "--input", docs, "--output", chunks,
+         "--window", "10", "--stride", "5"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    # 25 words @ (10,5) -> ceil(15/5)+1 = 4 chunks; 3 words -> 1 chunk
+    assert rec["chunks"] == 5
+    back = spark.read.parquet(chunks)
+    assert back.where("chunk_len > 10").count() == 0
+    assert set(back.columns) == {"doc_id", "chunk_idx", "chunk_text",
+                                 "chunk_len"}

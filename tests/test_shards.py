@@ -1,0 +1,88 @@
+"""Deterministic training-shard shuffle: reproducibility, multiset
+preservation, balance, decorrelation from input order, single-Exchange
+plan, and the partitioned writer round-trip."""
+
+import glob
+
+from pyspark.sql import functions as F
+
+from python_hll_spark.operators.shards import (
+    assign_shards, shuffle_shards, write_shards)
+
+
+def _docs(spark, n=5000):
+    return spark.range(n).select(F.col("id").alias("doc_id"),
+                                 F.concat(F.lit("doc "), "id").alias("text"))
+
+
+def test_shuffle_deterministic_and_partitioning_independent(spark):
+    df = _docs(spark)
+    a = shuffle_shards(df, 8, seed=7).select("shard", "pos", "doc_id")
+    b = shuffle_shards(df.repartition(13), 8, seed=7) \
+        .select("shard", "pos", "doc_id")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    c = shuffle_shards(df, 8, seed=8).select("shard", "pos", "doc_id")
+    assert sorted(map(tuple, a.collect())) != sorted(map(tuple, c.collect()))
+
+
+def test_multiset_preserved_and_positions_contiguous(spark):
+    df = _docs(spark, 3000)
+    out = shuffle_shards(df, 4, seed=1)
+    assert out.count() == 3000
+    assert out.select("doc_id").distinct().count() == 3000
+    per = (out.groupBy("shard")
+           .agg(F.count("*").alias("n"), F.min("pos").alias("lo"),
+                F.max("pos").alias("hi"),
+                F.countDistinct("pos").alias("npos"))
+           .collect())
+    assert len(per) == 4
+    for r in per:
+        assert r["lo"] == 1 and r["hi"] == r["n"] == r["npos"]
+
+
+def test_shards_balanced(spark):
+    n, k = 20000, 16
+    sizes = [r["n"] for r in shuffle_shards(_docs(spark, n), k, seed=3)
+             .groupBy("shard").agg(F.count("*").alias("n")).collect()]
+    assert len(sizes) == k
+    mean = n / k
+    # 5-sigma binomial band
+    band = 5 * (n * (1 / k) * (1 - 1 / k)) ** 0.5
+    assert all(abs(s - mean) <= band for s in sizes)
+
+
+def test_order_decorrelated_from_ingest_order(spark):
+    # consecutive doc_ids must not stay neighbours: in shard 0 of 8, the
+    # mean id-gap between successive positions is ~8 only for a sorted-id
+    # layout; a seeded hash order makes successive rows' ids jump wildly
+    out = (shuffle_shards(_docs(spark, 4000), 8, seed=5)
+           .where(F.col("shard") == 0).orderBy("pos")
+           .select("doc_id").collect())
+    ids = [r["doc_id"] for r in out]
+    jumps = [abs(b - a) for a, b in zip(ids, ids[1:])]
+    assert sum(jumps) / len(jumps) > 100  # sorted layout would read ~8
+
+
+def test_single_exchange_plan(spark):
+    plan = shuffle_shards(_docs(spark), 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert plan.count("Exchange") == 1  # repartition only; window reuses it
+
+
+def test_write_shards_roundtrip(spark, tmp_path):
+    df = _docs(spark, 1000)
+    path = str(tmp_path / "shards")
+    write_shards(df, path, 4, seed=9)
+    assert len(glob.glob(f"{path}/shard=*")) == 4
+    back = spark.read.parquet(path)
+    assert back.count() == 1000
+    assert back.select("doc_id").distinct().count() == 1000
+    direct = shuffle_shards(df, 4, seed=9).select("shard", "pos", "doc_id")
+    assert (sorted(map(tuple, back.select("shard", "pos", "doc_id").collect()))
+            == sorted(map(tuple, direct.collect())))
+
+
+def test_assign_shards_zero_shuffle(spark):
+    plan = assign_shards(_docs(spark), 8)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan
