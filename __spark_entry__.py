@@ -1618,7 +1618,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv_users_by_type_day": q_hll_ndv_users_by_type_day,
         "hll_ndv_murmur3_interop": q_hll_ndv_murmur3_interop,
         "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
-        "hll_rollup_union": q_hll_rollup_union,
+        # hll_rollup_union rides the tail: hll_store_rollup unions the same
+        # per-day states from the persistent store, so the union capability
+        # keeps a prefix row either way
         "hll_store_rollup": q_hll_store_rollup,
         "cms_top_words_by_source": q_cms_top_words_by_source,
         "kll_value_by_event_type": q_kll_value_by_event_type,
@@ -1639,7 +1641,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_recall": q_embedding_dup_recall,
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
         "near_dedup_documents": q_near_dedup_documents,
-        "near_dedup_tokens_invariant": q_near_dedup_tokens_invariant,
         "sample_counts_by_source": q_sample_counts_by_source,
         "repetition_stats_documents": q_repetition_stats_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
@@ -1651,6 +1652,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "length_buckets_documents": q_length_buckets_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
+        "shuffle_shards_documents": q_shuffle_shards_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dedup_documents": q_incremental_near_dedup_documents,
         "refresh_corpus_documents": q_refresh_corpus_documents,
@@ -1667,6 +1669,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix (r04 cut at exactly 50) in place of the 2nd of five
         # HLL-NDV prefix rows; parts_by_returnflag rides the tail below
         "boilerplate_documents": q_boilerplate_documents,
+        "hll_rollup_union": q_hll_rollup_union,
+        "near_dedup_tokens_invariant": q_near_dedup_tokens_invariant,
         "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
         "bloom_fp_rate_bound": q_bloom_fp_rate_bound,
@@ -1681,7 +1685,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # embedding-dedup family already has driver evidence via
         # embedding_dup_recall; the SemDeDup cluster variant rides the tail
         "semdedup_embeddings": q_semdedup_embeddings,
-        "shuffle_shards_documents": q_shuffle_shards_documents,
     }
 
 
