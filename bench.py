@@ -350,6 +350,17 @@ def _aux_worker(n_cores: int) -> dict:
             .agg(F.sum("score")).collect()
         cls_walls.append(time.time() - t0)
 
+    # context-window chunking throughput: window 2048 / stride 1536 over
+    # the same pre-tokenized subset — pure-JVM sequence/posexplode/slice,
+    # zero shuffle; sum(chunk_len) forces every output chunk to be built
+    from python_hll_spark.operators.chunking import chunk_tokens
+    chunk_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        chunk_tokens(seqs, 2048, 1536) \
+            .agg(F.sum(F.col("chunk_len").cast("bigint"))).collect()
+        chunk_walls.append(time.time() - t0)
+
     spark.stop()
     return {"murmur3_strings_per_sec": int(n_ids / min(mm_walls)),
             "murmur3_wall_sec": round(min(mm_walls), 2), "n_strings": n_ids,
@@ -358,7 +369,9 @@ def _aux_worker(n_cores: int) -> dict:
             "n_vectors": n_vec, "dim": dim,
             "classifier_tokens_per_sec": int(n_cls_tokens / min(cls_walls)),
             "classifier_wall_sec": round(min(cls_walls), 2),
-            "classifier_n_tokens": n_cls_tokens}
+            "classifier_n_tokens": n_cls_tokens,
+            "chunk_tokens_per_sec": int(n_cls_tokens / min(chunk_walls)),
+            "chunk_wall_sec": round(min(chunk_walls), 2)}
 
 
 def run_headline() -> tuple[float, dict]:
@@ -533,7 +546,8 @@ def main() -> None:
     aux = _sub(["--aux-worker", str(CPUS)])
     print(f"# murmur3 {aux['murmur3_strings_per_sec']:,} strings/s; "
           f"srp-bucket {aux['srp_vectors_per_sec']:,} vec/s; "
-          f"classifier {aux['classifier_tokens_per_sec']:,} tok/s",
+          f"classifier {aux['classifier_tokens_per_sec']:,} tok/s; "
+          f"chunking {aux['chunk_tokens_per_sec']:,} tok/s",
           file=sys.stderr)
 
     incr = _sub(["--incremental-worker", str(CPUS),
