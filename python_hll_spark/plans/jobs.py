@@ -408,7 +408,9 @@ def main(argv=None) -> None:
     ws.add_argument("--output", required=True)
     ws.add_argument("--n-shards", type=int, required=True)
     ws.add_argument("--seed", type=int, default=42)
-    ws.add_argument("--id-col", default="doc_id")
+    ws.add_argument("--id-col", default="doc_id",
+                    help="row key; comma-separated for composite keys "
+                         "(e.g. doc_id,chunk_idx for a chunked corpus)")
     ws.set_defaults(fn=_write_shards)
 
     ic = sub.add_parser("ingest-crawl",

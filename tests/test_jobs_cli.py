@@ -210,9 +210,10 @@ def test_spark_submit_refresh_corpus_tokens(tmp_path, spark):
 
 @pytest.mark.slow
 def test_spark_submit_ingest_then_chunk(tmp_path, spark):
-    """The crawl front door then the chunker, via the real spark-submit
-    flow: JSONL dump -> documents parquet + quarantine (counts conserve),
-    then context-window chunks whose count obeys the closed-form law."""
+    """The full front-to-back path via the real spark-submit flow:
+    JSONL dump -> documents parquet + quarantine (counts conserve),
+    then context-window chunks whose count obeys the closed-form law,
+    then loader shards keyed on the composite (doc_id, chunk_idx)."""
     import shutil
     if shutil.which(SPARK_SUBMIT) is None:
         pytest.skip("spark-submit not on PATH")
@@ -262,3 +263,19 @@ def test_spark_submit_ingest_then_chunk(tmp_path, spark):
     assert back.where("chunk_len > 10").count() == 0
     assert set(back.columns) == {"doc_id", "chunk_idx", "chunk_text",
                                  "chunk_len"}
+
+    shards = str(tmp_path / "shards")
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "write-shards", "--input", chunks, "--output", shards,
+         "--n-shards", "2", "--seed", "7",
+         "--id-col", "doc_id,chunk_idx"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    assert rec["rows"] == 5
+    sharded = spark.read.parquet(shards)
+    assert sharded.count() == 5
+    assert (sharded.select("doc_id", "chunk_idx").distinct().count() == 5)

@@ -82,6 +82,27 @@ def test_write_shards_roundtrip(spark, tmp_path):
             == sorted(map(tuple, direct.collect())))
 
 
+def test_composite_key_shuffle(spark):
+    # a chunked corpus has no unique single column: (doc_id, chunk_idx)
+    # as the composite key must give a deterministic collision-free order,
+    # and the comma-separated CLI spelling must mean the same thing
+    df = (_docs(spark, 500)
+          .select("doc_id", F.explode(F.array(F.lit(0), F.lit(1), F.lit(2)))
+                  .alias("chunk_idx")))
+    a = shuffle_shards(df, 4, seed=2, id_col=["doc_id", "chunk_idx"]) \
+        .select("shard", "pos", "doc_id", "chunk_idx")
+    b = shuffle_shards(df.repartition(7), 4, seed=2,
+                       id_col="doc_id, chunk_idx") \
+        .select("shard", "pos", "doc_id", "chunk_idx")
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+    assert a.count() == 1500
+    # chunks of one doc scatter across shards (keyed on the pair, not doc)
+    spread = (a.groupBy("doc_id")
+              .agg(F.countDistinct("shard").alias("k"))
+              .agg(F.max("k")).collect()[0][0])
+    assert spread > 1
+
+
 def test_assign_shards_zero_shuffle(spark):
     plan = assign_shards(_docs(spark), 8)._jdf.queryExecution() \
         .executedPlan().toString()
