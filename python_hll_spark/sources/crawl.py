@@ -61,13 +61,7 @@ def _is_good(min_chars: int):
             & (F.length("text") >= min_chars))
 
 
-def read_crawl_jsonl(spark: SparkSession, path: str, source: str = "crawl",
-                     min_chars: int = 1) -> DataFrame:
-    """Read a JSONL crawl dump into the ``documents`` shape:
-    (doc_id, text, lang, source, n_chars, url).  Records failing to parse
-    or missing url/text are EXCLUDED — recover them with
-    ``crawl_quarantine`` on the same path."""
-    parsed = parse_crawl_lines(spark.read.text(path))
+def _good_docs(parsed: DataFrame, source: str, min_chars: int) -> DataFrame:
     return (parsed.where(_is_good(min_chars))
             .select(
                 F.lower(F.hex(F.xxhash64(url_normalize(F.col("url")))))
@@ -77,6 +71,33 @@ def read_crawl_jsonl(spark: SparkSession, path: str, source: str = "crawl",
                 F.lit(source).alias("source"),
                 F.length("text").cast("long").alias("n_chars"),
                 F.col("url")))
+
+
+def read_crawl_jsonl(spark: SparkSession, path: str, source: str = "crawl",
+                     min_chars: int = 1) -> DataFrame:
+    """Read a JSONL crawl dump into the ``documents`` shape:
+    (doc_id, text, lang, source, n_chars, url).  Records failing to parse
+    or missing url/text are EXCLUDED — recover them with
+    ``crawl_quarantine`` on the same path."""
+    return _good_docs(parse_crawl_lines(spark.read.text(path)),
+                      source, min_chars)
+
+
+def read_crawl_stream(spark: SparkSession, path: str, source: str = "crawl",
+                      min_chars: int = 1,
+                      max_files_per_trigger: int | None = None) -> DataFrame:
+    """Streaming twin of ``read_crawl_jsonl`` for a perpetual crawl: watch
+    ``path`` for new JSONL dump files and emit the same documents-shaped
+    rows per micro-batch (same parse, same projection — one code path, so
+    batch and stream can never skew).  Compose with the streaming dedup /
+    decontamination stages or a parquet sink + checkpoint.  Cap ingest
+    rate with ``max_files_per_trigger`` so one giant dump drop does not
+    produce an unbounded micro-batch."""
+    reader = spark.readStream
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    return _good_docs(parse_crawl_lines(reader.text(path)),
+                      source, min_chars)
 
 
 def crawl_quarantine(spark: SparkSession, path: str,

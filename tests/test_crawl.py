@@ -6,7 +6,7 @@ import json
 from pyspark.sql import functions as F
 
 from python_hll_spark.sources.crawl import (
-    crawl_quarantine, read_crawl_jsonl)
+    crawl_quarantine, read_crawl_jsonl, read_crawl_stream)
 
 LINES = [
     json.dumps({"url": "https://example.com/a?utm_source=x", "text": "hello world",
@@ -71,6 +71,28 @@ def test_min_chars_gate(spark, tmp_path):
     path = _dump(tmp_path)
     assert read_crawl_jsonl(spark, path, min_chars=12).count() == 1
     assert crawl_quarantine(spark, path, min_chars=12).count() == 7
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    # the streaming front door is the SAME parse+projection code path:
+    # drop two dump files into the watched dir, drain the stream, and the
+    # union of micro-batches must equal the batch read of the same dir
+    d = tmp_path / "dumps"
+    d.mkdir()
+    (d / "a.jsonl").write_text("\n".join(LINES[:4]) + "\n")
+    (d / "b.jsonl").write_text("\n".join(LINES[4:]) + "\n")
+    stream = read_crawl_stream(spark, str(d), source="cc-s",
+                               max_files_per_trigger=1)
+    assert stream.isStreaming
+    q = (stream.writeStream.format("memory").queryName("crawl_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = sorted(map(tuple, spark.table("crawl_sink").collect()))
+    want = sorted(map(tuple,
+                      read_crawl_jsonl(spark, str(d), source="cc-s")
+                      .collect()))
+    assert got == want and len(got) == 3
 
 
 def test_single_scan_no_shuffle(spark, tmp_path):
