@@ -278,7 +278,11 @@ def _write_shards(args) -> None:
 def _ingest_crawl(args) -> None:
     """JSONL crawl dump -> documents-shaped parquet, with every rejected
     line landing in the quarantine sink (raw line + reason) instead of
-    vanishing."""
+    vanishing.  The two lanes have different schemas and different sinks,
+    so they are two scans of the raw dump by design: splitting one scan
+    into two writers would need a full cache of the parsed frame (not an
+    option at dump scale), and the quarantine lane is skipped entirely
+    when --quarantine is absent."""
     from python_hll_spark.sources.crawl import (crawl_quarantine,
                                                 read_crawl_jsonl)
 
