@@ -53,6 +53,12 @@ run before packing when documents exceed the training window):
         --input /data/clean/2026-08-17 --output /data/chunks/2026-08-17 \
         --window 2048 --stride 1536
 
+Daily ops report (single-scan multi-sketch profile: token NDV, heavy
+hitters, membership, n_tok quantiles per source — one pass total):
+
+    python -m python_hll_spark.plans.jobs profile-corpus \
+        --input /data/clean/2026-08-17 --output /data/reports/2026-08-17
+
 Full web-curation recipe (all round-5 filter stages on):
 
     python -m python_hll_spark.plans.jobs prepare-corpus \
@@ -317,6 +323,30 @@ def _chunk_corpus(args) -> None:
     spark.stop()
 
 
+def _profile_corpus(args) -> None:
+    """Single-scan multi-sketch corpus profile (HLL token NDV + CMS heavy
+    hitters + Bloom membership + KLL n_tok quantiles, one pass) over a
+    pre-tokenized corpus; writes the per-group summary frame and prints
+    totals.  The daily ops report: one linear scan regardless of how many
+    sketches it fills."""
+    from python_hll_spark.operators.profile import (profile_summary,
+                                                    token_profile)
+
+    spark = get_spark("profile-corpus")
+    df = spark.read.parquet(args.input)
+    summary = profile_summary(
+        token_profile(df, by=args.by, token_col=args.tokens_col,
+                      len_col=args.len_col), by=args.by)
+    summary.write.mode("overwrite").parquet(args.output)
+    rows = spark.read.parquet(args.output).collect()
+    print(json.dumps({
+        "groups": len(rows),
+        "n_docs": sum(r["n_docs"] for r in rows),
+        "token_ndv_by_group": {str(r[args.by]): r["token_ndv"]
+                               for r in rows}}))
+    spark.stop()
+
+
 def main(argv=None) -> None:
     p = argparse.ArgumentParser(prog="python_hll_spark.plans.jobs")
     sub = p.add_subparsers(dest="cmd", required=True)
@@ -426,6 +456,16 @@ def main(argv=None) -> None:
     ic.add_argument("--source", default="crawl")
     ic.add_argument("--min-chars", type=int, default=1)
     ic.set_defaults(fn=_ingest_crawl)
+
+    pc = sub.add_parser("profile-corpus",
+                        help="single-scan multi-sketch corpus profile "
+                             "(NDV / quantiles per group)")
+    pc.add_argument("--input", required=True)
+    pc.add_argument("--output", required=True)
+    pc.add_argument("--by", default="source")
+    pc.add_argument("--tokens-col", default="tokens")
+    pc.add_argument("--len-col", default="n_tok")
+    pc.set_defaults(fn=_profile_corpus)
 
     ch = sub.add_parser("chunk-corpus",
                         help="context-window chunking of long documents")

@@ -279,3 +279,38 @@ def test_spark_submit_ingest_then_chunk(tmp_path, spark):
     sharded = spark.read.parquet(shards)
     assert sharded.count() == 5
     assert (sharded.select("doc_id", "chunk_idx").distinct().count() == 5)
+
+
+@pytest.mark.slow
+def test_spark_submit_profile_corpus(tmp_path, spark):
+    """The single-scan profile as an ops job: summary parquet lands with
+    one row per source and sane NDV/p50 values, totals printed as JSON."""
+    import shutil
+    if shutil.which(SPARK_SUBMIT) is None:
+        pytest.skip("spark-submit not on PATH")
+
+    from python_hll_spark.sources.seqs import seqs_table
+    inp = str(tmp_path / "seqs")
+    seqs_table(spark, 200, partitions=4).write.parquet(inp)
+
+    zip_path = _make_pyfiles_zip(tmp_path)
+    out = str(tmp_path / "profile")
+    job = os.path.join(REPO, "python_hll_spark", "plans", "jobs.py")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "profile-corpus", "--input", inp, "--output", out],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    assert rec["n_docs"] == 200
+    assert rec["groups"] == len(rec["token_ndv_by_group"]) == 5
+    back = spark.read.parquet(out)
+    rows = {r["source"]: r for r in back.collect()}
+    assert len(rows) == 5
+    for r in rows.values():
+        assert r["token_ndv"] > 0 and r["n_tok_p50"] > 0
