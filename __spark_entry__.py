@@ -863,6 +863,38 @@ def q_chunk_documents(spark, sf_dir):
     return reconstruct_ok(chunked, words, 64, 16)
 
 
+def q_tokenize_corpus_documents(spark, sf_dir):
+    """Corpus tokenization (vocab build + encode to the library's
+    pre-tokenized input shape), value-checked three ways: per-source
+    sum of n_tok equals the SQL word count under the same split rule
+    (exact law — every word, in-vocab or OOV, contributes one token);
+    all ids lie in [0, V] (`in_range_ok`); and the occurrences of id 1
+    equal the corpus max word frequency (`top1_ok` — the vocab really
+    is frequency-ordered; tie-safe because any argmax word has the
+    same count)."""
+    from python_hll_spark.operators.tokenize import (build_vocab,
+                                                     encode_corpus,
+                                                     word_hash_counts)
+
+    V = 20  # below the synthetic corpus's 31-word vocabulary -> real OOV
+    docs = _read(spark, sf_dir, "documents")
+    enc = encode_corpus(docs, build_vocab(docs, V))
+    top1 = enc.agg(
+        F.sum(F.expr("size(filter(tokens, x -> x = 1))")).alias("top1_cnt"))
+    maxf = word_hash_counts(docs).agg(F.max("count").alias("max_freq"))
+    flag = (top1.crossJoin(maxf)
+            .select((F.col("top1_cnt") == F.col("max_freq"))
+                    .alias("top1_ok")))
+    per = (enc.groupBy("source")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_tok").cast("bigint").alias("sum_n_tok"),
+                ((F.max(F.coalesce(F.array_max("tokens"), F.lit(0)))
+                  <= F.lit(V))
+                 & (F.min(F.coalesce(F.array_min("tokens"), F.lit(0)))
+                    >= F.lit(0))).alias("in_range_ok")))
+    return per.crossJoin(F.broadcast(flag))
+
+
 def q_sample_counts_by_source(spark, sf_dir):
     """Deterministic exactly-k per-group uniform sample (bottom-k of the
     id hash): per-source sampled counts are exactly least(k, group size),
@@ -1633,7 +1665,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats_documents": q_text_stats_documents,
         "lang_id_documents": q_lang_id_documents,
-        "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        # jaccard_pairs rides the tail: the exact-Jaccard audit it provides
+        # is also embedded in the near-dedup oracles' false-positive checks
         "ann_topk_embeddings": q_ann_topk_embeddings,
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_documents": q_simhash_documents,
@@ -1645,6 +1678,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_stats_documents": q_repetition_stats_documents,
         "pack_sequences_documents": q_pack_sequences_documents,
         "chunk_documents": q_chunk_documents,
+        "tokenize_corpus_documents": q_tokenize_corpus_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "hll_overlap_users": q_hll_overlap_users,
         "pii_stats_documents": q_pii_stats_documents,
@@ -1669,6 +1703,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # prefix (r04 cut at exactly 50) in place of the 2nd of five
         # HLL-NDV prefix rows; parts_by_returnflag rides the tail below
         "boilerplate_documents": q_boilerplate_documents,
+        "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "hll_rollup_union": q_hll_rollup_union,
         "near_dedup_tokens_invariant": q_near_dedup_tokens_invariant,
         "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
@@ -2225,6 +2260,21 @@ def oracle_sql() -> dict[str, str]:
                    (n + (n_chunks - 1) * 48)::BIGINT AS tok_total,
                    TRUE AS ok
             FROM c
+        """,
+        "tokenize_corpus_documents": """
+            WITH w AS (SELECT doc_id, source,
+                              unnest(string_split(regexp_replace(
+                                  lower(trim(text)), '\\s+', ' ', 'g'),
+                                  ' ')) AS w
+                       FROM documents),
+                 wf AS (SELECT * FROM w WHERE w <> ''),
+                 agg AS (SELECT source, COUNT(*)::BIGINT AS sum_n_tok
+                         FROM wf GROUP BY source)
+            SELECT d.source, COUNT(*)::BIGINT AS n_docs,
+                   COALESCE(MAX(a.sum_n_tok), 0)::BIGINT AS sum_n_tok,
+                   TRUE AS in_range_ok, TRUE AS top1_ok
+            FROM documents d LEFT JOIN agg a USING (source)
+            GROUP BY d.source
         """,
         "repetition_stats_documents": """
             WITH w AS (SELECT doc_id,

@@ -53,6 +53,17 @@ run before packing when documents exceed the training window):
         --input /data/clean/2026-08-17 --output /data/chunks/2026-08-17 \
         --window 2048 --stride 1536
 
+Tokenize a cleaned corpus into the library's pre-tokenized input shape
+(doc_id, tokens array<int>, n_tok, source); save the vocab once, reuse
+it for every later batch so ids stay stable across refreshes:
+
+    python -m python_hll_spark.plans.jobs tokenize-corpus \
+        --input /data/clean/2026-08-17 --output /data/tokens/2026-08-17 \
+        --vocab-size 65536 --vocab-out /data/vocab/v1
+    python -m python_hll_spark.plans.jobs tokenize-corpus \
+        --input /data/clean/2026-08-18 --output /data/tokens/2026-08-18 \
+        --vocab-in /data/vocab/v1
+
 Daily ops report (single-scan multi-sketch profile: token NDV, heavy
 hitters, membership, n_tok quantiles per source — one pass total):
 
@@ -323,6 +334,37 @@ def _chunk_corpus(args) -> None:
     spark.stop()
 
 
+def _tokenize_corpus(args) -> None:
+    """Clean text -> the pre-tokenized training table
+    (doc_id, tokens array<int>, n_tok, source): build (or load) the
+    frequency vocabulary, encode every document against it.  Two corpus
+    passes when building the vocab (counts + encode), one when loading."""
+    from python_hll_spark.operators.tokenize import (build_vocab,
+                                                     encode_corpus)
+
+    from pyspark.sql import functions as F
+
+    spark = get_spark("tokenize-corpus")
+    df = spark.read.parquet(args.input)
+    if args.vocab_in:
+        vocab = spark.read.parquet(args.vocab_in)
+    else:
+        vocab = build_vocab(df, args.vocab_size, text_col=args.text_col,
+                            min_count=args.min_count)
+    if args.vocab_out:
+        vocab.write.mode("overwrite").parquet(args.vocab_out)
+        vocab = spark.read.parquet(args.vocab_out)
+    enc = encode_corpus(df, vocab, text_col=args.text_col,
+                        id_col=args.id_col)
+    enc.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    n_docs = out.count()
+    n_tok = out.agg(F.sum("n_tok")).collect()[0][0] or 0
+    print(json.dumps({"docs": n_docs, "tokens": int(n_tok),
+                      "vocab_size": vocab.count()}))
+    spark.stop()
+
+
 def _profile_corpus(args) -> None:
     """Single-scan multi-sketch corpus profile (HLL token NDV + CMS heavy
     hitters + Bloom membership + KLL n_tok quantiles, one pass) over a
@@ -456,6 +498,21 @@ def main(argv=None) -> None:
     ic.add_argument("--source", default="crawl")
     ic.add_argument("--min-chars", type=int, default=1)
     ic.set_defaults(fn=_ingest_crawl)
+
+    tk = sub.add_parser("tokenize-corpus",
+                        help="clean text -> pre-tokenized training table "
+                             "(vocab build or reuse + encode)")
+    tk.add_argument("--input", required=True)
+    tk.add_argument("--output", required=True)
+    tk.add_argument("--vocab-size", type=int, default=1 << 16)
+    tk.add_argument("--min-count", type=int, default=1)
+    tk.add_argument("--vocab-in", help="reuse a saved vocab parquet "
+                                       "(skips the counting pass)")
+    tk.add_argument("--vocab-out", help="persist the built vocab for "
+                                        "later incremental batches")
+    tk.add_argument("--text-col", default="text")
+    tk.add_argument("--id-col", default="doc_id")
+    tk.set_defaults(fn=_tokenize_corpus)
 
     pc = sub.add_parser("profile-corpus",
                         help="single-scan multi-sketch corpus profile "

@@ -314,3 +314,68 @@ def test_spark_submit_profile_corpus(tmp_path, spark):
     assert len(rows) == 5
     for r in rows.values():
         assert r["token_ndv"] > 0 and r["n_tok_p50"] > 0
+
+
+@pytest.mark.slow
+def test_spark_submit_tokenize_then_profile(tmp_path, spark):
+    """tokenize-corpus emits the library input shape and profile-corpus
+    consumes it unchanged: text docs -> token table (vocab persisted,
+    then reused for a second batch with stable ids) -> profile report."""
+    import shutil
+    if shutil.which(SPARK_SUBMIT) is None:
+        pytest.skip("spark-submit not on PATH")
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet") \
+        .limit(300)
+    inp = str(tmp_path / "docs")
+    docs.write.parquet(inp)
+
+    zip_path = _make_pyfiles_zip(tmp_path)
+    job = os.path.join(REPO, "python_hll_spark", "plans", "jobs.py")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    toks = str(tmp_path / "tokens")
+    vocab = str(tmp_path / "vocab")
+
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "tokenize-corpus", "--input", inp, "--output", toks,
+         "--vocab-size", "500", "--vocab-out", vocab],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    # the synthetic corpus has a 31-word vocabulary, well under the cap —
+    # so every word is in-vocab and NO token may be the OOV id
+    assert rec["docs"] == 300 and rec["vocab_size"] == 31
+    back = spark.read.parquet(toks)
+    assert set(back.columns) == {"doc_id", "tokens", "n_tok", "source"}
+    assert back.where("size(tokens) <> n_tok").count() == 0
+    assert back.where("array_contains(tokens, 0)").count() == 0
+
+    # second batch reuses the saved vocab -> identical ids for shared text
+    toks2 = str(tmp_path / "tokens2")
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "tokenize-corpus", "--input", inp, "--output", toks2,
+         "--vocab-in", vocab],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    a = {r["doc_id"]: list(r["tokens"]) for r in back.collect()}
+    b = {r["doc_id"]: list(r["tokens"])
+         for r in spark.read.parquet(toks2).collect()}
+    assert a == b
+
+    prof = str(tmp_path / "profile")
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "profile-corpus", "--input", toks, "--output", prof],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    assert rec["n_docs"] == 300 and rec["groups"] >= 1
