@@ -86,6 +86,40 @@ def build_vocab(df: DataFrame, vocab_size: int, text_col: str = "text",
         "count")
 
 
+def extend_vocab(vocab: DataFrame, df: DataFrame, max_size: int,
+                 text_col: str = "text", min_count: int = 1) -> DataFrame:
+    """Grow an existing vocab with a new batch's frequent words WITHOUT
+    touching existing ids (re-encoding yesterday's 100 TB because an id
+    moved is not an option): words already in ``vocab`` keep their id;
+    new words take ids V+1, V+2, ... by (batch count desc, hash asc),
+    until ``max_size``.  Returns the same (word_hash, id, count) shape
+    with counts refreshed to include the new batch."""
+    new_counts = word_hash_counts(df, text_col)
+    if min_count > 1:
+        new_counts = new_counts.where(F.col("count") >= min_count)
+    old = vocab.select("word_hash", "id",
+                       F.col("count").alias("__old_count"))
+    joined = new_counts.join(F.broadcast(old), "word_hash", "full_outer")
+    kept = (joined.where(F.col("id").isNotNull())
+            .select("word_hash", "id",
+                    (F.coalesce(F.col("count"), F.lit(0))
+                     + F.col("__old_count")).alias("count")))
+    n_old = vocab.count()
+    room = max_size - n_old
+    if room <= 0:
+        return kept
+    fresh = (joined.where(F.col("id").isNull())
+             .orderBy(F.col("count").desc(), F.col("word_hash"))
+             .limit(room))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("count").desc(), F.col("word_hash"))
+    fresh = fresh.select(
+        "word_hash",
+        (F.row_number().over(w) + F.lit(n_old)).cast("int").alias("id"),
+        "count")
+    return kept.unionByName(fresh)
+
+
 def encode_corpus(df: DataFrame, vocab: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id",
                   keep_cols: tuple[str, ...] = ("source",)) -> DataFrame:

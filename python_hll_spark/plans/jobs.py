@@ -348,10 +348,19 @@ def _tokenize_corpus(args) -> None:
     df = spark.read.parquet(args.input)
     if args.vocab_in:
         vocab = spark.read.parquet(args.vocab_in)
+        if args.extend_vocab:
+            from python_hll_spark.operators.tokenize import extend_vocab
+            vocab = extend_vocab(vocab, df, args.vocab_size,
+                                 text_col=args.text_col,
+                                 min_count=args.min_count)
     else:
         vocab = build_vocab(df, args.vocab_size, text_col=args.text_col,
                             min_count=args.min_count)
     if args.vocab_out:
+        # materialize driver-side first (vocabulary-scale, <= a few MB):
+        # --vocab-out may equal --vocab-in (grow in place), and writing a
+        # parquet path that the plan is still lazily reading self-clobbers
+        vocab = spark.createDataFrame(vocab.collect(), vocab.schema)
         vocab.write.mode("overwrite").parquet(args.vocab_out)
         vocab = spark.read.parquet(args.vocab_out)
     enc = encode_corpus(df, vocab, text_col=args.text_col,
@@ -508,6 +517,10 @@ def main(argv=None) -> None:
     tk.add_argument("--min-count", type=int, default=1)
     tk.add_argument("--vocab-in", help="reuse a saved vocab parquet "
                                        "(skips the counting pass)")
+    tk.add_argument("--extend-vocab", action="store_true",
+                    help="with --vocab-in: append this batch's new "
+                         "frequent words (ids V+1.. up to --vocab-size) "
+                         "WITHOUT changing any existing id")
     tk.add_argument("--vocab-out", help="persist the built vocab for "
                                         "later incremental batches")
     tk.add_argument("--text-col", default="text")

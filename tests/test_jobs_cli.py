@@ -369,6 +369,34 @@ def test_spark_submit_tokenize_then_profile(tmp_path, spark):
          for r in spark.read.parquet(toks2).collect()}
     assert a == b
 
+    # a batch with brand-new words, vocab grown IN PLACE (--vocab-in ==
+    # --vocab-out): old ids must survive, new words append after them
+    old_vocab = {r["word_hash"]: r["id"]
+                 for r in spark.read.parquet(vocab).collect()}
+    day2 = str(tmp_path / "day2")
+    spark.createDataFrame(
+        [(9001, "nebula nebula pulsar the", "web")],
+        "doc_id long, text string, source string").write.parquet(day2)
+    toks3 = str(tmp_path / "tokens3")
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "tokenize-corpus", "--input", day2, "--output", toks3,
+         "--vocab-in", vocab, "--extend-vocab", "--vocab-size", "500",
+         "--vocab-out", vocab],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    assert rec["vocab_size"] == 33  # 31 + nebula + pulsar
+    grown = {r["word_hash"]: r["id"]
+             for r in spark.read.parquet(vocab).collect()}
+    assert all(grown[h] == i for h, i in old_vocab.items())
+    assert sorted(i for h, i in grown.items()
+                  if h not in old_vocab) == [32, 33]
+    t3 = spark.read.parquet(toks3).collect()[0]
+    assert t3["n_tok"] == 4 and 0 not in t3["tokens"]
+
     prof = str(tmp_path / "profile")
     res = subprocess.run(
         [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,

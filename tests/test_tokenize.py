@@ -6,7 +6,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from python_hll_spark.operators.tokenize import (
-    UNK_ID, build_vocab, encode_corpus, word_hash_counts)
+    UNK_ID, build_vocab, encode_corpus, extend_vocab, word_hash_counts)
 
 
 def _docs(spark):
@@ -126,3 +126,44 @@ def test_output_feeds_sketch_operators(spark):
            hll_ndv_tokens(out, by=["source"]).collect()}
     assert set(res) == {"a", "b", "c"}
     assert res["c"]["ndv"] > 0
+
+
+def test_extend_vocab_stable_ids(spark):
+    df0 = _docs(spark)
+    v0 = build_vocab(df0, 4)
+    ids0 = {r["word_hash"]: r["id"] for r in v0.collect()}
+    # a new batch: heavy reuse of 'the' plus brand-new words
+    df1 = spark.createDataFrame(
+        [(10, "the the the nebula nebula pulsar", "a"),
+         (11, "quasar", "a")],
+        "doc_id long, text string, source string")
+    v1 = extend_vocab(v0, df1, max_size=6).collect()
+    ids1 = {r["word_hash"]: r["id"] for r in v1}
+    # every old word keeps its exact id
+    for h, i in ids0.items():
+        assert ids1[h] == i
+    # two new slots filled, appended AFTER the old range, by batch count
+    new = sorted((r["id"], r["count"]) for r in v1
+                 if r["word_hash"] not in ids0)
+    assert [i for i, _ in new] == [5, 6]
+    assert new[0][1] == 2          # nebula (count 2) takes id 5
+    # counts refreshed: 'the' gained 3 occurrences
+    the_hash = next(h for h, i in ids0.items() if i == 1)
+    the_count = next(r["count"] for r in v1 if r["word_hash"] == the_hash)
+    assert the_count == 4 + 3
+    # encoding the old corpus against the grown vocab is unchanged
+    a = {r["doc_id"]: list(r["tokens"])
+         for r in encode_corpus(df0, v0).collect()}
+    b = {r["doc_id"]: list(r["tokens"])
+         for r in encode_corpus(df0, spark.createDataFrame(v1)).collect()}
+    assert a == b
+
+
+def test_extend_vocab_no_room(spark):
+    df0 = _docs(spark)
+    v0 = build_vocab(df0, 3)
+    df1 = spark.createDataFrame([(10, "nova nova nova", "a")],
+                                "doc_id long, text string, source string")
+    v1 = extend_vocab(v0, df1, max_size=3).collect()
+    assert len(v1) == 3
+    assert {r["id"] for r in v1} == {1, 2, 3}
