@@ -167,3 +167,28 @@ def test_extend_vocab_no_room(spark):
     v1 = extend_vocab(v0, df1, max_size=3).collect()
     assert len(v1) == 3
     assert {r["id"] for r in v1} == {1, 2, 3}
+
+
+def test_encode_streaming(spark, tmp_path):
+    # perpetual-crawl shape: a fixed vocab encodes a document STREAM
+    # (mapInArrow is stateless, so the same code path runs under
+    # readStream); union of micro-batches == batch encode of the same dir
+    d = tmp_path / "in"
+    d.mkdir()
+    _docs(spark).where("doc_id <= 3").write.parquet(str(d / "a.parquet"))
+    _docs(spark).where("doc_id > 3").write.parquet(str(d / "b.parquet"))
+    batch_df = spark.read.parquet(str(d) + "/*")
+    vocab = build_vocab(batch_df, 4)
+    stream = spark.readStream.schema(batch_df.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(str(d) + "/*")
+    enc = encode_corpus(stream, vocab)
+    assert enc.isStreaming
+    q = (enc.writeStream.format("memory").queryName("tok_sink")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+           for r in spark.table("tok_sink").collect()}
+    want = {r["doc_id"]: (list(r["tokens"]), r["n_tok"], r["source"])
+            for r in encode_corpus(batch_df, vocab).collect()}
+    assert got == want and len(got) == 6
