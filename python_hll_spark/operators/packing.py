@@ -21,10 +21,16 @@ from pyspark.sql import DataFrame
 
 
 def pack_sequences(df: DataFrame, token_col: str = "tokens",
-                   seq_len: int = 2048, pad_id: int = 0) -> DataFrame:
+                   seq_len: int = 2048, pad_id: int = 0,
+                   eod_id: int | None = None) -> DataFrame:
     """Returns (seq_id string, tokens array<bigint> of length seq_len,
     n_tokens int — non-pad count).  ``seq_id`` is deterministic given the
-    input partitioning: ``<partition_id>-<counter>``."""
+    input partitioning: ``<partition_id>-<counter>``.
+
+    ``eod_id`` (standard pretraining practice) appends one end-of-document
+    token after EVERY input row's tokens before packing, so a model can
+    learn document boundaries inside a packed sequence.  Conservation law
+    with eod: non-pad tokens out == tokens in + rows in."""
     if seq_len <= 0:
         raise ValueError("seq_len must be positive")
 
@@ -55,6 +61,11 @@ def pack_sequences(df: DataFrame, token_col: str = "tokens",
                 col = col.combine_chunks()
             flat = col.flatten().to_numpy(zero_copy_only=False) \
                 .astype(np.int64, copy=False)
+            if eod_id is not None:
+                offs = col.offsets.to_numpy(zero_copy_only=False) \
+                    .astype(np.int64, copy=False)
+                ends = offs[1:] - offs[0]   # one insert point per doc end
+                flat = np.insert(flat, ends, np.int64(eod_id))
             flat = np.concatenate([leftover, flat])
             n_full = len(flat) // seq_len
             if n_full:

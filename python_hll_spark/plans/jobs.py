@@ -374,6 +374,28 @@ def _tokenize_corpus(args) -> None:
     spark.stop()
 
 
+def _pack_corpus(args) -> None:
+    """Pre-tokenized table -> fixed-length training sequences (shuffle-
+    free per-partition packing; optional end-of-document separator)."""
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.operators.packing import pack_sequences
+
+    spark = get_spark("pack-corpus")
+    df = spark.read.parquet(args.input)
+    out = pack_sequences(df, token_col=args.tokens_col,
+                         seq_len=args.seq_len, pad_id=args.pad_id,
+                         eod_id=args.eod_id)
+    out.write.mode("overwrite").parquet(args.output)
+    packed = spark.read.parquet(args.output)
+    stats = packed.agg(F.count("*").alias("s"),
+                       F.sum("n_tokens").alias("t")).collect()[0]
+    print(json.dumps({"sequences": int(stats["s"]),
+                      "nonpad_tokens": int(stats["t"] or 0),
+                      "seq_len": args.seq_len}))
+    spark.stop()
+
+
 def _profile_corpus(args) -> None:
     """Single-scan multi-sketch corpus profile (HLL token NDV + CMS heavy
     hitters + Bloom membership + KLL n_tok quantiles, one pass) over a
@@ -526,6 +548,19 @@ def main(argv=None) -> None:
     tk.add_argument("--text-col", default="text")
     tk.add_argument("--id-col", default="doc_id")
     tk.set_defaults(fn=_tokenize_corpus)
+
+    pk = sub.add_parser("pack-corpus",
+                        help="pre-tokenized table -> fixed-length "
+                             "training sequences")
+    pk.add_argument("--input", required=True)
+    pk.add_argument("--output", required=True)
+    pk.add_argument("--seq-len", type=int, required=True)
+    pk.add_argument("--pad-id", type=int, default=0)
+    pk.add_argument("--eod-id", type=int, default=None,
+                    help="append this token after every document before "
+                         "packing (document-boundary marker)")
+    pk.add_argument("--tokens-col", default="tokens")
+    pk.set_defaults(fn=_pack_corpus)
 
     pc = sub.add_parser("profile-corpus",
                         help="single-scan multi-sketch corpus profile "

@@ -407,3 +407,21 @@ def test_spark_submit_tokenize_then_profile(tmp_path, spark):
     rec = [json.loads(l) for l in res.stdout.splitlines()
            if l.startswith("{")][-1]
     assert rec["n_docs"] == 300 and rec["groups"] >= 1
+
+    # pack the token table into training sequences with an eod separator:
+    # conservation law — non-pad out == words in + one eod per doc
+    n_words = spark.read.parquet(toks) \
+        .agg({"n_tok": "sum"}).collect()[0][0]
+    packed = str(tmp_path / "packed")
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "pack-corpus", "--input", toks, "--output", packed,
+         "--seq-len", "128", "--pad-id", "-1", "--eod-id", "-7"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    assert rec["nonpad_tokens"] == n_words + 300
+    back = spark.read.parquet(packed)
+    assert back.where("size(tokens) <> 128").count() == 0
