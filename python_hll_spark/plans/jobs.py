@@ -64,6 +64,11 @@ it for every later batch so ids stay stable across refreshes:
         --input /data/clean/2026-08-18 --output /data/tokens/2026-08-18 \
         --vocab-in /data/vocab/v1
 
+(add ``--extend-vocab --vocab-size 80000 --vocab-out /data/vocab/v1`` to
+let a batch's new frequent words join the vocab at fresh ids V+1.. —
+existing ids never move, so earlier token tables stay valid; then
+``pack-corpus --seq-len 2048 --eod-id 1`` for loader-ready sequences)
+
 Daily ops report (single-scan multi-sketch profile: token NDV, heavy
 hitters, membership, n_tok quantiles per source — one pass total):
 
