@@ -730,9 +730,48 @@ def _cc_star(edges: DataFrame, max_iter: int, on_nonconverged: str,
                     F.coalesce("component", F.col("node")).alias("component")))
 
 
+def _cc_driver_union_find(spark, edge_rows, id_type) -> DataFrame:
+    """Components of a bounded, already-collected edge list: path-compressed
+    union-find on the driver, each node labeled with its component's min
+    member id — the exact contract of the distributed paths (and checked
+    against them in tests), in one createDataFrame instead of an iteration
+    loop of checkpoint+collect actions."""
+    from pyspark.sql.types import StructField, StructType
+
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in edge_rows:
+        if a not in parent:
+            parent[a] = a
+        if b not in parent:
+            parent[b] = b
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[rb] = ra
+    comp_min: dict = {}
+    for node in parent:
+        root = find(node)
+        cur = comp_min.get(root)
+        if cur is None or node < cur:
+            comp_min[root] = node
+    rows = [(n, comp_min[find(n)]) for n in parent]
+    schema = StructType([StructField("id", id_type, False),
+                         StructField("component", id_type, False)])
+    return spark.createDataFrame(rows, schema)
+
+
 def connected_components(edges: DataFrame, max_iter: int = 20,
                          on_nonconverged: str = "warn",
-                         method: str = "minlabel") -> DataFrame:
+                         method: str = "minlabel",
+                         small_cap: int | None = 1 << 20) -> DataFrame:
     """Connected components of an undirected (id_a, id_b) edge list via
     iterative min-label propagation — pure DataFrame joins, so Catalyst/AQE
     handle the shuffles and it scales with the cluster (no driver graphs).
@@ -741,13 +780,26 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     Converges in O(diameter) iterations; duplicate clusters are tiny, so
     a handful of iterations suffice.
 
-    100 TB shape: each iteration is ONE action — the changed-label flag is
-    computed inside the update projection and summed over the checkpointed
-    result, instead of re-joining old and new labels (which doubled the
-    per-iteration work).  Checkpoints are RELIABLE (``sc.setCheckpointDir``,
-    set by plans.session.get_spark) so a multi-hour run survives executor
-    loss; if no checkpoint dir is configured the code falls back to
-    ``localCheckpoint`` (executor-storage lineage, fine for test scale).
+    Small-graph fast path: duplicate-cluster edge lists are normally tiny
+    relative to the corpus (pairs survive a Jaccard/cosine threshold), so
+    when the edge count is <= ``small_cap`` (default 2^20 ~ 16 MB of id
+    pairs on the driver) the components are solved with ONE bounded
+    CollectLimit action and a driver-side union-find, replacing the
+    2-actions-per-iteration distributed loop.  Above the cap the probe is
+    discarded and the distributed path runs — at that scale the one
+    bounded collect is noise next to the iterations it tried to save.
+    Results are identical (component = min member id).  Pass
+    ``small_cap=None`` to force the distributed path (the convergence /
+    checkpoint tests do).
+
+    100 TB shape: each distributed iteration is ONE action — the
+    changed-label flag is computed inside the update projection and summed
+    over the checkpointed result, instead of re-joining old and new labels
+    (which doubled the per-iteration work).  Checkpoints are RELIABLE
+    (``sc.setCheckpointDir``, set by plans.session.get_spark) so a
+    multi-hour run survives executor loss; if no checkpoint dir is
+    configured the code falls back to ``localCheckpoint``
+    (executor-storage lineage, fine for test scale).
     ``on_nonconverged``: "warn" (default), "raise", or "ignore" when labels
     are still changing after max_iter.
 
@@ -756,6 +808,15 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
     chains; the default min-label is one join cheaper per round and
     duplicate clusters are normally shallow."""
     import warnings
+
+    if method not in ("minlabel", "star"):
+        raise ValueError(f"unknown method {method!r}; use 'minlabel' or 'star'")
+
+    if small_cap:
+        head = edges.select("id_a", "id_b").limit(small_cap + 1).collect()
+        if len(head) <= small_cap:
+            return _cc_driver_union_find(edges.sparkSession, head,
+                                         edges.schema["id_a"].dataType)
 
     sc = edges.sparkSession.sparkContext
     reliable = sc.getCheckpointDir() is not None
@@ -766,8 +827,6 @@ def connected_components(edges: DataFrame, max_iter: int = 20,
 
     if method == "star":
         return _cc_star(edges, max_iter, on_nonconverged, chk)
-    if method != "minlabel":
-        raise ValueError(f"unknown method {method!r}; use 'minlabel' or 'star'")
 
     both = chk(edges.select(F.col("id_a").alias("node"), F.col("id_b").alias("nbr"))
                .unionByName(edges.select(F.col("id_b").alias("node"),

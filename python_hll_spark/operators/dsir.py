@@ -1,0 +1,181 @@
+"""DSIR-style data selection: hashed n-gram importance resampling.
+
+Implements the Data Selection via Importance Resampling recipe
+(Xie et al. 2023, arXiv:2302.03169) the way a Spark pipeline should:
+
+1. featurize every doc as a bag of HASHED unigram+bigram buckets
+   (``buckets`` ~ 10k, the paper's setting) — pure JVM array expressions,
+   no Python in the corpus pass;
+2. fit two bag-of-buckets unigram models — target corpus ``p`` and raw
+   corpus ``q`` — each ONE map-side-combined aggregation that collapses a
+   100 TB scan to a ``buckets``-row frame;
+3. score every raw doc with the log importance weight
+   ``sum_f count(f) * (ln p[f] - ln q[f])`` via a BROADCAST join of the
+   buckets-row log-ratio frame against the exploded features (occurrence
+   rows never shuffle; the per-doc sum map-side-combines to one row per
+   doc before its only shuffle);
+4. resample with seeded Gumbel top-k (the paper's sampling-without-
+   replacement trick: argmax of ``w + Gumbel`` ~ sampling proportional to
+   ``exp(w)``), planned as TakeOrderedAndProject — count-free, bounded
+   driver result, no global sort.
+
+The reference library (AdRoll/python-hll) has no selection surface at all;
+this operator exists for the training-data-pipeline tier of the target
+engine. Hash choice is Spark's built-in xxhash64 so the whole featurizer
+stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from python_hll_spark.functions.text import _norm_word_array
+
+
+def hashed_ngram_features(text: Column, buckets: int = 10000,
+                          bigrams: bool = True) -> Column:
+    """array<bigint> of hashed feature buckets for ``text``: one entry per
+    unigram occurrence plus (optionally) one per bigram occurrence —
+    multiplicity preserved, exactly the paper's bag-of-hashed-ngrams."""
+    ws = _norm_word_array(text)
+    uni = F.transform(ws, lambda w: F.pmod(F.xxhash64(w), F.lit(buckets)))
+    if not bigrams:
+        return uni
+    idx = F.when(F.size(ws) >= 2,
+                 F.sequence(F.lit(1), F.size(ws) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    big = F.transform(
+        idx,
+        lambda i: F.pmod(
+            F.xxhash64(F.concat_ws(" ", F.element_at(ws, i),
+                                   F.element_at(ws, i + 1))),
+            F.lit(buckets)))
+    return F.concat(uni, big)
+
+
+def bucket_counts(df: DataFrame, text_col: str = "text",
+                  buckets: int = 10000, bigrams: bool = True) -> DataFrame:
+    """(bucket bigint, cnt bigint) hashed-feature occurrence counts — the
+    sufficient statistics of a bag-of-buckets unigram model.  ONE corpus
+    scan; groupBy partial-aggregates map-side so the shuffle moves at most
+    ``buckets`` rows per task regardless of corpus size."""
+    feats = hashed_ngram_features(F.col(text_col), buckets, bigrams)
+    return (df.select(F.explode(feats).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+
+def dsir_logratio(target_counts: DataFrame, raw_counts: DataFrame,
+                  buckets: int = 10000, alpha: float = 1.0) -> DataFrame:
+    """(bucket, logratio double): ``ln p_target[b] - ln q_raw[b]`` with
+    add-``alpha`` smoothing over the full bucket space, so buckets absent
+    from either side stay finite.  Inputs are buckets-row frames; the two
+    total-count lookups are aggregations over those frames (never a corpus
+    re-scan).  The result is KBs — broadcast it at the scoring join."""
+    t_total = target_counts.agg(F.sum("cnt")).first()[0] or 0
+    r_total = raw_counts.agg(F.sum("cnt")).first()[0] or 0
+    t_denom = float(t_total + alpha * buckets)
+    r_denom = float(r_total + alpha * buckets)
+    spark = target_counts.sparkSession
+    # smoothing gives absent buckets a NONZERO constant log-ratio, so the
+    # frame must cover the full bucket space, not just observed buckets
+    full = spark.range(buckets).select(F.col("id").alias("bucket"))
+    t = target_counts.withColumnRenamed("cnt", "t_cnt")
+    r = raw_counts.withColumnRenamed("cnt", "r_cnt")
+    return (full.join(t, "bucket", "left").join(r, "bucket", "left")
+            .select(
+                "bucket",
+                (F.log((F.coalesce(F.col("t_cnt"), F.lit(0)) + F.lit(alpha))
+                       / F.lit(t_denom))
+                 - F.log((F.coalesce(F.col("r_cnt"), F.lit(0)) + F.lit(alpha))
+                         / F.lit(r_denom))).alias("logratio")))
+
+
+def dsir_weights(df: DataFrame, logratio: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", buckets: int = 10000,
+                 bigrams: bool = True) -> DataFrame:
+    """(id, n_features, dsir_weight): per-doc log importance weight — the
+    feature-count-weighted sum of broadcast log-ratios.  The exploded
+    occurrence rows join the buckets-row ratio frame as a broadcast hash
+    join (no occurrence shuffle) and partial-aggregate to one row per doc
+    before the only shuffle (per-doc combine happens map-side because
+    explode keeps a doc's features inside one partition)."""
+    feats = hashed_ngram_features(F.col(text_col), buckets, bigrams)
+    occ = df.select(F.col(id_col), F.explode(feats).alias("bucket"))
+    return (occ.join(F.broadcast(logratio), "bucket")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_features"),
+                 F.sum("logratio").alias("dsir_weight")))
+
+
+def dsir_resample(df: DataFrame, weights: DataFrame, k: int,
+                  id_col: str = "doc_id", seed: int = 42,
+                  gumbel: bool = True) -> DataFrame:
+    """Select ``k`` rows of ``df`` by importance weight.
+
+    ``gumbel=True`` (the paper's estimator): key = weight + Gumbel noise
+    seeded from ``xxhash64(seed, id)`` — deterministic for a given seed,
+    equivalent to sampling without replacement proportional to
+    ``exp(weight)``.  ``gumbel=False``: plain top-k by weight.
+    Either way the selection plans as TakeOrderedAndProject (bounded
+    per-task heaps, driver merges heads) — count-free and never a global
+    sort of the corpus."""
+    two53 = float(1 << 53)
+    u = (F.pmod(F.xxhash64(F.lit(seed), F.col(id_col)), F.lit(1 << 53))
+         .cast("double") + F.lit(1.0)) / F.lit(two53 + 2.0)
+    key = F.col("dsir_weight") + (-F.log(-F.log(u)) if gumbel else F.lit(0.0))
+    picked = (weights.select(F.col(id_col), key.alias("__key"))
+              .orderBy(F.desc("__key"), F.asc(id_col))
+              .limit(k))
+    return df.join(F.broadcast(picked.select(id_col)), id_col, "left_semi")
+
+
+def dsir_select(raw: DataFrame, target: DataFrame, k: int,
+                text_col: str = "text", id_col: str = "doc_id",
+                buckets: int = 10000, bigrams: bool = True,
+                alpha: float = 1.0, seed: int = 42,
+                gumbel: bool = True) -> DataFrame:
+    """End-to-end DSIR: fit target/raw hashed-ngram models, weight every
+    raw doc, Gumbel-top-k resample.  Two corpus scans total (one per model;
+    the scoring pass re-reads raw — at 100 TB callers should persist the
+    weights frame if they also want it for analysis)."""
+    t_counts = bucket_counts(target, text_col, buckets, bigrams)
+    r_counts = bucket_counts(raw, text_col, buckets, bigrams)
+    lr = dsir_logratio(t_counts, r_counts, buckets, alpha)
+    w = dsir_weights(raw, lr, text_col, id_col, buckets, bigrams)
+    return dsir_resample(raw, w, k, id_col, seed, gumbel)
+
+
+def reference_dsir_weights(rows, target_rows, buckets=10000, bigrams=True,
+                           alpha=1.0, hasher=None):
+    """Pure-Python oracle of the weight math for tests: same normalization,
+    same smoothing, caller supplies ``hasher(s) -> bucket`` matching the
+    Spark-side hash (tests pass a collected xxhash64 lookup)."""
+    def featurize(text):
+        words = " ".join(str(text or "").lower().split()).split(" ")
+        feats = [hasher(w) for w in words]
+        if bigrams and len(words) >= 2:
+            feats += [hasher(f"{a} {b}")
+                      for a, b in zip(words, words[1:])]
+        return feats
+
+    def counts(rs):
+        c = {}
+        for _, text in rs:
+            for f in featurize(text):
+                c[f] = c.get(f, 0) + 1
+        return c
+
+    tc, rc = counts(target_rows), counts(rows)
+    t_denom = sum(tc.values()) + alpha * buckets
+    r_denom = sum(rc.values()) + alpha * buckets
+    out = {}
+    for doc_id, text in rows:
+        w = 0.0
+        for f in featurize(text):
+            w += (math.log((tc.get(f, 0) + alpha) / t_denom)
+                  - math.log((rc.get(f, 0) + alpha) / r_denom))
+        out[doc_id] = w
+    return out

@@ -201,9 +201,9 @@ def test_connected_components_nonconvergence_warns(spark):
     edges = spark.createDataFrame(
         [(i, i + 1) for i in range(12)], "id_a long, id_b long")
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(edges, max_iter=2).collect()
+        connected_components(edges, max_iter=2, small_cap=None).collect()
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=2,
+        connected_components(edges, max_iter=2, small_cap=None,
                              on_nonconverged="raise").collect()
 
 
@@ -215,7 +215,7 @@ def test_connected_components_uses_reliable_checkpoint(spark):
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long")
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # no non-convergence warning expected
-        comps = connected_components(edges).collect()
+        comps = connected_components(edges, small_cap=None).collect()
     m = {r["id"]: r["component"] for r in comps}
     assert m == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
 
@@ -229,7 +229,7 @@ def test_cc_star_converges_on_deep_chain(spark):
         [(i, i + 1) for i in range(200)], "id_a long, id_b long")
     with warnings.catch_warnings():
         warnings.simplefilter("error")  # star MUST converge, no warning
-        comps = connected_components(edges, max_iter=10,
+        comps = connected_components(edges, max_iter=10, small_cap=None,
                                      method="star").collect()
     assert len(comps) == 201
     assert {r["component"] for r in comps} == {0}
@@ -243,9 +243,9 @@ def test_cc_star_matches_minlabel(spark):
          (30, 31)]
     edges = spark.createDataFrame(e, "id_a long, id_b long")
     star = {r["id"]: r["component"] for r in
-            connected_components(edges, method="star").collect()}
+            connected_components(edges, method="star", small_cap=None).collect()}
     minl = {r["id"]: r["component"] for r in
-            connected_components(edges, method="minlabel").collect()}
+            connected_components(edges, method="minlabel", small_cap=None).collect()}
     assert star == minl
     assert star[23] == 20 and star[31] == 30
 
@@ -378,3 +378,44 @@ def test_tokens_short_batch_large_shingle_no_crash(spark):
     sigs = {r["doc_id"]: tuple(r["sig"]) for r in
             minhash_signatures_tokens(big, n=5, num_hashes=16).collect()}
     assert sigs[1] == tuple(one[0]["sig"])
+
+
+# ------------------------------------- small-graph union-find fast path
+def test_cc_fast_path_matches_distributed(spark):
+    """Below small_cap the driver union-find must return exactly what the
+    distributed min-label loop returns, on a messy random graph."""
+    from python_hll_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(7)
+    e = [(int(a), int(b)) for a, b in rng.integers(0, 60, size=(120, 2))
+         if a != b]
+    edges = spark.createDataFrame(e, "id_a long, id_b long")
+    fast = {r["id"]: r["component"] for r in
+            connected_components(edges).collect()}
+    dist = {r["id"]: r["component"] for r in
+            connected_components(edges, small_cap=None).collect()}
+    assert fast == dist and len(fast) > 0
+
+
+def test_cc_fast_path_string_ids_and_empty(spark):
+    from python_hll_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [("b", "a"), ("c", "b"), ("x", "y")], "id_a string, id_b string")
+    m = {r["id"]: r["component"] for r in
+         connected_components(edges).collect()}
+    assert m == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    empty = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(empty).collect() == []
+
+
+def test_cc_cap_exceeded_falls_back_to_distributed(spark):
+    """small_cap smaller than the edge count must route to the distributed
+    loop — proven by the non-convergence warning a diameter-12 chain
+    triggers at max_iter=2 (the fast path would just converge)."""
+    from python_hll_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(edges, max_iter=2, small_cap=5).collect()
