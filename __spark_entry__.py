@@ -812,6 +812,50 @@ def q_hll_overlap_users(spark, sf_dir):
         "type_a string, type_b string, exact_overlap bigint, overlap_ok boolean")
 
 
+def q_hll_overlap_matrix_events(spark, sf_dir):
+    """Full pairwise audience-overlap MATRIX across all event types from
+    ONE scan (``hll_overlap_matrix``: one sketch per type, then pure state
+    algebra over the K-row frame — the cross-source contamination report
+    shape).  Value-checked per pair: exact overlap is SQL-expressible; the
+    inclusion-exclusion estimate must land within 3 sigma per term
+    (|A|+|B|+|A∪B|) of it."""
+    from python_hll_spark.operators.ndv import hll_overlap_matrix
+    from python_hll_spark.sketches.hll import HLLConfig
+
+    cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
+    events = _read(spark, sf_dir, "events")
+    est = hll_overlap_matrix(events, "user_id", "event_type", cfg=cfg)
+
+    du = events.select("event_type", "user_id").distinct().persist()
+    a = du.select(F.col("event_type").alias("group_a"),
+                  "user_id")
+    b = du.select(F.col("event_type").alias("group_b"), "user_id")
+    exact_i = (a.join(b, "user_id")
+               .where(F.col("group_a") < F.col("group_b"))
+               .groupBy("group_a", "group_b")
+               .agg(F.count("*").alias("exact_overlap")))
+    per_type = du.groupBy("event_type").agg(F.count("*").alias("n"))
+    na = per_type.select(F.col("event_type").alias("group_a"),
+                         F.col("n").alias("__na"))
+    nb = per_type.select(F.col("event_type").alias("group_b"),
+                         F.col("n").alias("__nb"))
+    tol = F.lit(HLL_TOL * cfg.error_bound)
+    joined = (est.join(exact_i, ["group_a", "group_b"], "left")
+              .join(F.broadcast(na), "group_a").join(F.broadcast(nb), "group_b")
+              .withColumn("exact_overlap",
+                          F.coalesce(F.col("exact_overlap"), F.lit(0)))
+              .withColumn("__nu", F.col("__na") + F.col("__nb")
+                          - F.col("exact_overlap")))
+    bound = tol * (F.col("__na") + F.col("__nb") + F.col("__nu"))
+    return joined.select(
+        F.col("group_a").alias("type_a"), F.col("group_b").alias("type_b"),
+        "exact_overlap",
+        (F.abs(F.col("est_intersection") - F.col("exact_overlap")) <= bound)
+        .alias("overlap_ok"),
+        (F.abs(F.col("est_union") - F.col("__nu"))
+         <= tol * F.col("__nu") + 1).alias("union_ok"))
+
+
 def q_decontaminate_documents(spark, sf_dir):
     """Eval-set decontamination (exact tier), oracle-checked: every 50th
     doc plays the eval set (SQL-expressible selection); train docs whose
@@ -926,6 +970,71 @@ def q_hash_split_documents(spark, sf_dir):
                      <= 4 * F.sqrt(F.col("__f") * (1 - F.col("__f"))
                                    / F.col("n_total")) + 1 / F.col("n_total"))
                     .alias("frac_ok")))
+
+
+def q_dsir_select_documents(spark, sf_dir):
+    """DSIR hashed-ngram importance resampling (Xie et al. 2023), value-
+    checked by construction since the bucket hash (xxhash64) has no DuckDB
+    mirror: raw = documents + a verbatim copy of every 10th doc (+1e6) + a
+    per-word-REVERSED mutant of every doc (+2e6, same length/shape but a
+    vocabulary disjoint from the target up to rare hash collisions);
+    target = the original documents.  Invariants:
+    - n_raw / n_target: exact, SQL-expressible;
+    - dup_weights_equal: identical text => identical importance weight
+      (rounded to 1e-6 against summation-order ulp noise);
+    - mutant_mean_lower: the mean weight of the reversed-vocabulary
+      mutants is strictly below the originals' (every original feature
+      has target mass; mutant features only have smoothing mass);
+    - resample_k_ok / resample_subset_ok: Gumbel top-k returns exactly k
+      rows drawn from raw;
+    - resample_stable: the same seed reselects the identical id set."""
+    from python_hll_spark.operators.dsir import (bucket_counts,
+                                                 dsir_logratio,
+                                                 dsir_resample, dsir_weights)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = _norm_words(F.col("text"))
+    mutants = docs.select(
+        (F.col("doc_id") + 2000000).alias("doc_id"),
+        F.concat_ws(" ", F.transform(ws, F.reverse)).alias("text"))
+    copies = docs.where(F.col("doc_id") % 10 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    raw = docs.unionByName(copies).unionByName(mutants)
+    lr = dsir_logratio(bucket_counts(docs), bucket_counts(raw))
+    w = dsir_weights(raw, lr).persist()
+
+    wr = F.round(F.col("dsir_weight"), 6)
+    w_orig = w.where(F.col("doc_id") % 10 == 0) \
+        .where(F.col("doc_id") < 1000000) \
+        .select(F.col("doc_id"), wr.alias("__wo"))
+    w_copy = w.where(F.col("doc_id") >= 1000000) \
+        .where(F.col("doc_id") < 2000000) \
+        .select((F.col("doc_id") - 1000000).alias("doc_id"),
+                wr.alias("__wc"))
+    dup_eq = (w_orig.join(w_copy, "doc_id")
+              .agg((F.sum((F.col("__wo") != F.col("__wc")).cast("int")) == 0)
+                   .alias("dup_weights_equal")))
+    means = w.agg(
+        (F.avg(F.when(F.col("doc_id") < 1000000, F.col("dsir_weight")))
+         > F.avg(F.when(F.col("doc_id") >= 2000000, F.col("dsir_weight"))))
+        .alias("mutant_mean_lower"))
+
+    k = 100
+    pick1 = dsir_resample(raw, w, k, seed=5).select("doc_id").persist()
+    pick2 = dsir_resample(raw, w, k, seed=5).select("doc_id")
+    k_ok = pick1.agg((F.count("*") == k).alias("resample_k_ok"))
+    subset_ok = (pick1.join(raw.select("doc_id"), "doc_id", "left_anti")
+                 .agg((F.count("*") == 0).alias("resample_subset_ok")))
+    stable = (pick1.join(pick2, "doc_id", "full_outer")
+              .agg((F.count("*") == k).alias("resample_stable")))
+
+    counts = raw.agg(F.count("*").alias("n_raw")).crossJoin(
+        docs.agg(F.count("*").alias("n_target")))
+    return (counts.crossJoin(F.broadcast(dup_eq))
+            .crossJoin(F.broadcast(means))
+            .crossJoin(F.broadcast(k_ok))
+            .crossJoin(F.broadcast(subset_ok))
+            .crossJoin(F.broadcast(stable)))
 
 
 def q_shuffle_shards_documents(spark, sf_dir):
@@ -1681,11 +1790,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tokenize_corpus_documents": q_tokenize_corpus_documents,
         "decontaminate_documents": q_decontaminate_documents,
         "hll_overlap_users": q_hll_overlap_users,
+        "hll_overlap_matrix_events": q_hll_overlap_matrix_events,
         "pii_stats_documents": q_pii_stats_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "length_buckets_documents": q_length_buckets_documents,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
+        "dsir_select_documents": q_dsir_select_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dedup_documents": q_incremental_near_dedup_documents,
@@ -2219,6 +2330,21 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS redaction_clean
             FROM d
         """,
+        "hll_overlap_matrix_events": """
+            WITH du AS (SELECT DISTINCT event_type, user_id FROM events),
+                 t AS (SELECT DISTINCT event_type FROM events),
+                 ov AS (SELECT a.event_type AS ta, b.event_type AS tb,
+                               COUNT(*) AS c
+                        FROM du a JOIN du b
+                          ON a.user_id = b.user_id
+                         AND a.event_type < b.event_type
+                        GROUP BY 1, 2)
+            SELECT t1.event_type AS type_a, t2.event_type AS type_b,
+                   COALESCE(ov.c, 0)::BIGINT AS exact_overlap,
+                   TRUE AS overlap_ok, TRUE AS union_ok
+            FROM t t1 JOIN t t2 ON t1.event_type < t2.event_type
+            LEFT JOIN ov ON ov.ta = t1.event_type AND ov.tb = t2.event_type
+        """,
         "hll_overlap_users": """
             WITH ab AS (SELECT DISTINCT event_type FROM events
                         ORDER BY event_type LIMIT 2),
@@ -2301,6 +2427,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT 'train' AS split, TRUE AS frac_ok
             UNION ALL SELECT 'val', TRUE
             UNION ALL SELECT 'test', TRUE
+        """,
+        "dsir_select_documents": """
+            SELECT (2 * COUNT(*)
+                    + SUM(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)
+                    )::BIGINT AS n_raw,
+                   COUNT(*)::BIGINT AS n_target,
+                   TRUE AS dup_weights_equal,
+                   TRUE AS mutant_mean_lower,
+                   TRUE AS resample_k_ok,
+                   TRUE AS resample_subset_ok,
+                   TRUE AS resample_stable
+            FROM documents
         """,
         "winnowing_dup_invariant": """
             SELECT doc_id,

@@ -77,6 +77,36 @@ tdigest_merge_agg = _merge_agg_udf(_tdigest_spec)
 
 
 @F.pandas_udf(DoubleType())
+def hll_intersection_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    """Inclusion-exclusion intersection estimate |A|+|B|-|A∪B| of two
+    serialized HLL states, vectorized over rows — the caller-side
+    composition the reference documents (it ships no intersection
+    operator).  Error compounds across the three estimates; callers bound
+    it with ~3 sigma per term."""
+    from python_hll_spark.sketches.hll import HLLSketch, intersection_estimate
+
+    return pd.Series([
+        float(intersection_estimate(HLLSketch.from_bytes(bytes(a)),
+                                    HLLSketch.from_bytes(bytes(b))))
+        for a, b in zip(sa, sb)])
+
+
+@F.pandas_udf(BinaryType())
+def hll_union_pair_udf(sa: pd.Series, sb: pd.Series) -> pd.Series:
+    """Two-state HLL union as a scalar column — the pair-row variant of the
+    grouped ``hll_union_agg`` for matrix-shaped state frames."""
+    from python_hll_spark.sketches.specs import HLLSpec
+
+    spec = HLLSpec()
+    out = []
+    for a, b in zip(sa, sb):
+        acc = spec.deserialize(bytes(a))
+        spec.merge(acc, spec.deserialize(bytes(b)))
+        out.append(spec.serialize(acc))
+    return pd.Series(out)
+
+
+@F.pandas_udf(DoubleType())
 def kll_quantile_udf(states: pd.Series, qs: pd.Series) -> pd.Series:
     from python_hll_spark.sketches.kll import KLLSketch
 
@@ -104,6 +134,7 @@ SQL_FUNCTIONS = {
     "tdigest_merge_agg": tdigest_merge_agg,
     "kll_quantile": kll_quantile_udf,
     "tdigest_quantile": tdigest_quantile_udf,
+    "hll_intersection": hll_intersection_udf,
 }
 
 

@@ -56,6 +56,27 @@ def hashed_ngram_features(text: Column, buckets: int = 10000,
     return F.concat(uni, big)
 
 
+def hashed_ngram_features_tokens(tokens: Column, buckets: int = 10000,
+                                 bigrams: bool = True) -> Column:
+    """Pre-tokenized (input_hint shape) featurizer: one bucket per token
+    occurrence plus one per adjacent token pair.  Bigrams hash the two ids
+    directly (``xxhash64(a, b)``) — no string building, stays in
+    whole-stage codegen."""
+    uni = F.transform(tokens, lambda t: F.pmod(F.xxhash64(t),
+                                               F.lit(buckets)))
+    if not bigrams:
+        return uni
+    idx = F.when(F.size(tokens) >= 2,
+                 F.sequence(F.lit(1), F.size(tokens) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    big = F.transform(
+        idx,
+        lambda i: F.pmod(F.xxhash64(F.element_at(tokens, i),
+                                    F.element_at(tokens, i + 1)),
+                         F.lit(buckets)))
+    return F.concat(uni, big)
+
+
 def bucket_counts(df: DataFrame, text_col: str = "text",
                   buckets: int = 10000, bigrams: bool = True) -> DataFrame:
     """(bucket bigint, cnt bigint) hashed-feature occurrence counts — the
@@ -63,6 +84,15 @@ def bucket_counts(df: DataFrame, text_col: str = "text",
     scan; groupBy partial-aggregates map-side so the shuffle moves at most
     ``buckets`` rows per task regardless of corpus size."""
     feats = hashed_ngram_features(F.col(text_col), buckets, bigrams)
+    return (df.select(F.explode(feats).alias("bucket"))
+            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+
+
+def bucket_counts_tokens(df: DataFrame, tokens_col: str = "tokens",
+                         buckets: int = 10000,
+                         bigrams: bool = True) -> DataFrame:
+    """``bucket_counts`` over the pre-tokenized table shape."""
+    feats = hashed_ngram_features_tokens(F.col(tokens_col), buckets, bigrams)
     return (df.select(F.explode(feats).alias("bucket"))
             .groupBy("bucket").agg(F.count("*").alias("cnt")))
 
@@ -103,6 +133,20 @@ def dsir_weights(df: DataFrame, logratio: DataFrame, text_col: str = "text",
     before the only shuffle (per-doc combine happens map-side because
     explode keeps a doc's features inside one partition)."""
     feats = hashed_ngram_features(F.col(text_col), buckets, bigrams)
+    return _weights_impl(df, feats, logratio, id_col)
+
+
+def dsir_weights_tokens(df: DataFrame, logratio: DataFrame,
+                        tokens_col: str = "tokens", id_col: str = "doc_id",
+                        buckets: int = 10000,
+                        bigrams: bool = True) -> DataFrame:
+    """``dsir_weights`` over the pre-tokenized table shape."""
+    feats = hashed_ngram_features_tokens(F.col(tokens_col), buckets, bigrams)
+    return _weights_impl(df, feats, logratio, id_col)
+
+
+def _weights_impl(df: DataFrame, feats: Column, logratio: DataFrame,
+                  id_col: str) -> DataFrame:
     occ = df.select(F.col(id_col), F.explode(feats).alias("bucket"))
     return (occ.join(F.broadcast(logratio), "bucket")
             .groupBy(id_col)

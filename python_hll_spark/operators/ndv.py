@@ -101,3 +101,47 @@ def hll_ndv_column(df: DataFrame, value_col: str, by: list[str] | None = None,
         states = merge_sketches(partials.withColumn("__g", F.lit(0)),
                                 ["__g"], spec).drop("__g")
     return states.withColumn("ndv", hll_cardinality(F.col("state")))
+
+
+def hll_overlap_matrix(df: DataFrame, value_col: str, by_col: str,
+                       cfg: HLLConfig | None = None, n_salts: int = 16,
+                       hasher: str = "xxhash64",
+                       cache_out: list | None = None) -> DataFrame:
+    """Pairwise group-overlap matrix from ONE corpus scan: build one HLL
+    per ``by_col`` group, then self-join the K-row state frame on
+    ``group_a < group_b`` and estimate every |A∩B| by inclusion-exclusion
+    (|A|+|B|-|A∪B|) inside a vectorized pandas UDF over the state pairs.
+
+    This is pure sketch algebra — the cross-source contamination /
+    audience-overlap report costs one scan + K(K-1)/2 KB-sized state
+    pairs, never a second pass over the data, which is the whole point of
+    mergeable sketches at 100 TB.  The state frame is persisted (K rows)
+    so the self-join reads the cache instead of re-running the scan for
+    each side; the handle lands in ``cache_out`` when given.
+
+    Returns (group_a, group_b, ndv_a, ndv_b, est_union, est_intersection).
+    Error bound: each of the three estimates carries the HLL bound
+    1.04/sqrt(m), so |est_intersection - exact| <= ~3 sigma * (|A|+|B|+|A∪B|)
+    with 3-sigma terms (reference ships no intersection; this is the
+    documented caller-side composition, reference README.rst)."""
+    from python_hll_spark.functions.sketch_funcs import (
+        hll_cardinality_float, hll_intersection_udf, hll_union_pair_udf)
+
+    states = hll_ndv_column(df, value_col, by=[by_col], cfg=cfg,
+                            n_salts=n_salts, hasher=hasher).persist()
+    if cache_out is not None:
+        cache_out.append(states)
+    a = states.select(F.col(by_col).alias("group_a"),
+                      F.col("ndv").alias("ndv_a"), F.col("state").alias("__sa"))
+    b = states.select(F.col(by_col).alias("group_b"),
+                      F.col("ndv").alias("ndv_b"), F.col("state").alias("__sb"))
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    # one grouped merge would also work, but the pair frame is tiny and a
+    # scalar two-state union keeps the whole matrix a single projection
+    union_est = hll_cardinality_float(hll_union_pair_udf(F.col("__sa"),
+                                                         F.col("__sb")))
+    return (pairs.select(
+        "group_a", "group_b", "ndv_a", "ndv_b",
+        F.round(union_est).cast("bigint").alias("est_union"),
+        hll_intersection_udf(F.col("__sa"), F.col("__sb"))
+        .alias("est_intersection")))

@@ -112,3 +112,63 @@ def test_cms_topk_late_surging_heavy_hitter(spark):
     assert got[0]["key"] == "HEAVY", got
     # est_count comes from the CMS: true count, not the inflated admission
     assert 800 <= got[0]["est_count"] <= 800 + int(2.72 / 65536 * 21000) + 1
+
+
+# ----------------------------------------------- pairwise overlap matrix
+def test_hll_overlap_matrix_within_bound(spark):
+    """K groups with engineered pairwise overlaps: every est_intersection
+    within 3-sigma-per-term inclusion-exclusion bounds of the exact
+    overlap, all K(K-1)/2 unordered pairs present, one corpus scan."""
+    from python_hll_spark.operators.ndv import hll_overlap_matrix
+    from python_hll_spark.sketches.hll import HLLConfig
+
+    # group g owns users [g*600, g*600+1000): consecutive groups share 400
+    rows = [(f"g{g}", u) for g in range(4)
+            for u in range(g * 600, g * 600 + 1000)]
+    df = spark.createDataFrame(rows, "grp string, user bigint")
+    cfg = HLLConfig.create(13, 5)
+    caches = []
+    got = {(r["group_a"], r["group_b"]): r for r in
+           hll_overlap_matrix(df, "user", "grp", cfg=cfg,
+                              cache_out=caches).collect()}
+    assert len(got) == 6  # 4C2
+    sets = {f"g{g}": set(range(g * 600, g * 600 + 1000)) for g in range(4)}
+    sigma = cfg.error_bound
+    for (ga, gb), r in got.items():
+        exact_i = len(sets[ga] & sets[gb])
+        exact_u = len(sets[ga] | sets[gb])
+        bound = 3 * sigma * (len(sets[ga]) + len(sets[gb]) + exact_u)
+        assert abs(r["est_intersection"] - exact_i) <= bound, (ga, gb)
+        assert abs(r["est_union"] - exact_u) <= 3 * sigma * exact_u + 1
+    for c in caches:
+        c.unpersist()
+
+
+def test_hll_overlap_matrix_single_scan_plan(spark):
+    """The pair self-join must read the persisted K-row state frame, not
+    re-run the corpus scan per side."""
+    from python_hll_spark.operators.ndv import hll_overlap_matrix
+
+    df = spark.createDataFrame(
+        [(f"g{i % 3}", i) for i in range(300)], "grp string, user bigint")
+    caches = []
+    out = hll_overlap_matrix(df, "user", "grp", cache_out=caches)
+    plan = out._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    # both join sides read the persisted state frame (the corpus lineage
+    # appears only INSIDE the InMemoryRelation bodies), and the pair join
+    # broadcasts — no shuffle of state rows
+    tree = plan.split("(1) ")[0]
+    assert tree.count("InMemoryTableScan") >= 2, tree
+    assert "Broadcast" in tree
+    # raw-source scans appear only INSIDE InMemoryRelation bodies: every
+    # join-side branch starts at a cache scan, so each "Scan ExistingRDD"
+    # line must sit deeper than an InMemoryRelation line above it
+    for ln in tree.splitlines():
+        if "Scan ExistingRDD" in ln:
+            depth = ln.index("Scan")
+            assert any("InMemoryRelation" in up and up.index("InMemory") < depth
+                       for up in tree.splitlines()), ln
+    for c in caches:
+        c.unpersist()
