@@ -1789,8 +1789,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_documents": q_chunk_documents,
         "tokenize_corpus_documents": q_tokenize_corpus_documents,
         "decontaminate_documents": q_decontaminate_documents,
-        "hll_overlap_users": q_hll_overlap_users,
+        # hll_overlap_users rides the tail: the pairwise overlap MATRIX
+        # strictly supersedes the 2-set case (same estimator, same bound
+        # check, all pairs) — freeing its prefix slot for semdedup (whose
+        # ONLY query this is; the rest of the embedding-dedup family keeps
+        # embedding_dup_recall above)
         "hll_overlap_matrix_events": q_hll_overlap_matrix_events,
+        "semdedup_embeddings": q_semdedup_embeddings,
         "pii_stats_documents": q_pii_stats_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "length_buckets_documents": q_length_buckets_documents,
@@ -1815,6 +1820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # HLL-NDV prefix rows; parts_by_returnflag rides the tail below
         "boilerplate_documents": q_boilerplate_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "hll_overlap_users": q_hll_overlap_users,
         "hll_rollup_union": q_hll_rollup_union,
         "near_dedup_tokens_invariant": q_near_dedup_tokens_invariant,
         "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
@@ -1828,9 +1834,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_dup_invariant": q_winnowing_dup_invariant,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
         "minhash_tokens_dup_invariant": q_minhash_tokens_dup_invariant,
-        # embedding-dedup family already has driver evidence via
-        # embedding_dup_recall; the SemDeDup cluster variant rides the tail
-        "semdedup_embeddings": q_semdedup_embeddings,
     }
 
 

@@ -361,6 +361,27 @@ def _aux_worker(n_cores: int) -> dict:
             .agg(F.sum(F.col("chunk_len").cast("bigint"))).collect()
         chunk_walls.append(time.time() - t0)
 
+    # DSIR weight-scoring throughput over the same pre-tokenized subset:
+    # target model = a deterministic 1/16 of the docs, raw model = all of
+    # them (two buckets-row aggregations, built once outside the timing
+    # loop like any daily-refresh would reuse its models), then the scored
+    # pass — explode uni+bigram buckets, broadcast-join the 10k-row
+    # log-ratio frame, sum per doc
+    from python_hll_spark.operators.dsir import (bucket_counts_tokens,
+                                                 dsir_logratio,
+                                                 dsir_weights_tokens)
+    target = seqs.where(F.pmod(F.xxhash64("doc_id"), F.lit(16)) == 0)
+    lr = dsir_logratio(bucket_counts_tokens(target),
+                       bucket_counts_tokens(seqs)).persist()
+    lr.count()
+    dsir_walls = []
+    for _ in range(3):
+        t0 = time.time()
+        dsir_weights_tokens(seqs, lr) \
+            .agg(F.sum("dsir_weight"), F.sum("n_features")).collect()
+        dsir_walls.append(time.time() - t0)
+    lr.unpersist()
+
     spark.stop()
     return {"murmur3_strings_per_sec": int(n_ids / min(mm_walls)),
             "murmur3_wall_sec": round(min(mm_walls), 2), "n_strings": n_ids,
@@ -371,7 +392,9 @@ def _aux_worker(n_cores: int) -> dict:
             "classifier_wall_sec": round(min(cls_walls), 2),
             "classifier_n_tokens": n_cls_tokens,
             "chunk_tokens_per_sec": int(n_cls_tokens / min(chunk_walls)),
-            "chunk_wall_sec": round(min(chunk_walls), 2)}
+            "chunk_wall_sec": round(min(chunk_walls), 2),
+            "dsir_tokens_per_sec": int(n_cls_tokens / min(dsir_walls)),
+            "dsir_wall_sec": round(min(dsir_walls), 2)}
 
 
 def run_headline() -> tuple[float, dict]:
@@ -560,7 +583,8 @@ def main() -> None:
     print(f"# murmur3 {aux['murmur3_strings_per_sec']:,} strings/s; "
           f"srp-bucket {aux['srp_vectors_per_sec']:,} vec/s; "
           f"classifier {aux['classifier_tokens_per_sec']:,} tok/s; "
-          f"chunking {aux['chunk_tokens_per_sec']:,} tok/s",
+          f"chunking {aux['chunk_tokens_per_sec']:,} tok/s; "
+          f"dsir {aux['dsir_tokens_per_sec']:,} tok/s",
           file=sys.stderr)
 
     incr = _sub(["--incremental-worker", str(CPUS),
@@ -643,6 +667,7 @@ def main() -> None:
         "incr_wall_sec": incr["wall_sec"],
         "incr_eff_1_4": incr["scaling_efficiency_1_to_4"],
         "cls_tok_per_sec": aux["classifier_tokens_per_sec"],
+        "dsir_tok_per_sec": aux["dsir_tokens_per_sec"],
         "bus_ok": result["bus_health"]["all_scaling_legs_healthy"],
         "full_record": "BENCH/bench_latest_full.json",
     }
