@@ -717,6 +717,92 @@ def q_unigram_logprob_documents(spark, sf_dir):
         .alias("lp_in_range"))
 
 
+def q_bigram_logprob_documents(spark, sf_dir):
+    """CCNet-style corpus-self BIGRAM LM scoring (Jelinek-Mercer
+    interpolated p(w2|w1)): the integer companions (bigram count, sum of
+    corpus bigram frequencies over the doc's bigrams) are SQL-exact; the
+    float mean-log-prob is range-checked against its constructive bounds
+    [log10((1-lam)/T), 0]."""
+    import math
+
+    from python_hll_spark.functions.text import bigram_logprob
+
+    docs = _read(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(_norm_words(F.col("text")))).alias("t")).collect()[0]["t"]
+    lp = bigram_logprob(docs, lam=0.7)
+    lo = math.log10(0.3 / total) - 1e-6
+    return lp.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("sum_bigram_freq").cast("long").alias("sum_bigram_freq"),
+        ((F.col("mean_log10_prob") >= lo) & (F.col("mean_log10_prob") <= 0))
+        .alias("lp_in_range"))
+
+
+def q_perplexity_buckets_documents(spark, sf_dir):
+    """CCNet head/middle/tail corpus partition by bigram-LM score
+    terciles (KLL thresholds): the scored-doc total is SQL-exact (every
+    doc with >= 2 words), per-bucket shares land within rank-error +
+    tie tolerance of 1/3, and the buckets are strictly ordered by score
+    (head's worst doc still beats middle's best)."""
+    from python_hll_spark.functions.text import (bigram_logprob,
+                                                 perplexity_partition)
+
+    docs = _read(spark, sf_dir, "documents")
+    cache = []
+    scored = bigram_logprob(docs, cache_out=cache).persist()
+    try:
+        rows = (perplexity_partition(scored)
+                .groupBy("ppl_bucket")
+                .agg(F.count("*").alias("n"),
+                     F.min("mean_log10_prob").alias("lo"),
+                     F.max("mean_log10_prob").alias("hi"))
+                .collect())
+        n_scored = sum(r["n"] for r in rows)
+        by = {r["ppl_bucket"]: r for r in rows}
+        order_ok = (set(by) == {"head", "middle", "tail"}
+                    and by["head"]["lo"] > by["middle"]["hi"]
+                    and by["middle"]["lo"] > by["tail"]["hi"])
+        out = [(b, n_scored,
+                abs(by[b]["n"] / n_scored - 1 / 3) < 0.08 if b in by else False,
+                bool(order_ok))
+               for b in ("head", "middle", "tail")]
+    finally:
+        scored.unpersist()
+        for c in cache:
+            c.unpersist()
+    return spark.createDataFrame(
+        out, "ppl_bucket string, n_scored long, share_ok boolean, "
+             "order_ok boolean")
+
+
+def q_token_budget_documents(spark, sf_dir):
+    """Token-budget mixture planning: select a deterministic hash-order
+    prefix per source whose n_chars total fits 60% of the source's
+    corpus.  The budget itself is integer-exact SQL; the kept totals are
+    boolean-checked against the greedy contract (kept <= budget, and the
+    selection is maximal: within one max-doc-cost of the budget)."""
+    from python_hll_spark.operators.sampling import token_budget_select
+
+    docs = _read(spark, sf_dir, "documents")
+    stats = {r["source"]: (r["t"], r["m"]) for r in
+             docs.groupBy("source").agg(F.sum("n_chars").alias("t"),
+                                        F.max("n_chars").alias("m")).collect()}
+    budgets = {s: (3 * t) // 5 for s, (t, m) in stats.items()}
+    sel = token_budget_select(docs, budgets, cost_col="n_chars",
+                              by="source", seed=42)
+    kept = {r["source"]: r["k"] for r in
+            sel.groupBy("source").agg(F.sum("n_chars").alias("k")).collect()}
+    out = [(s, int(budgets[s]),
+            bool(kept.get(s, 0) <= budgets[s]),
+            bool(kept.get(s, 0) > budgets[s] - stats[s][1]))
+           for s in sorted(stats)]
+    return spark.createDataFrame(
+        out, "source string, budget long, kept_le_budget boolean, "
+             "kept_maximal boolean")
+
+
 def q_mixture_sample_documents(spark, sf_dir):
     """Data-mixing rebalance to target per-source proportions: the first
     source gets 2x weight (so it binds and keeps all rows); every other
@@ -1756,7 +1842,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "hll_ndv_users_by_event_type": q_hll_ndv_users_by_event_type,
         "hll_ndv_words_by_source": q_hll_ndv_words_by_source,
-        "hll_ndv_users_by_type_day": q_hll_ndv_users_by_type_day,
+        # hll_ndv_users_by_type_day rides the tail: it is the composite-
+        # key/window VARIANT of the two NDV rows above (same kernel, same
+        # bound check) — its prefix slot goes to token_budget_select,
+        # whose ONLY query this is
+        "token_budget_documents": q_token_budget_documents,
         "hll_ndv_murmur3_interop": q_hll_ndv_murmur3_interop,
         "hll_sketch_hex_by_source": q_hll_sketch_hex_by_source,
         # hll_rollup_union rides the tail: hll_store_rollup unions the same
@@ -1799,7 +1889,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_stats_documents": q_pii_stats_documents,
         "mixture_sample_documents": q_mixture_sample_documents,
         "length_buckets_documents": q_length_buckets_documents,
-        "unigram_logprob_documents": q_unigram_logprob_documents,
+        # unigram_logprob rides the tail: bigram_logprob is the strictly-
+        # stronger LM scorer (same explode/count/skew-split machinery PLUS
+        # sequence sensitivity), so the prefix keeps the superset
+        "bigram_logprob_documents": q_bigram_logprob_documents,
         "hash_split_documents": q_hash_split_documents,
         "dsir_select_documents": q_dsir_select_documents,
         "shuffle_shards_documents": q_shuffle_shards_documents,
@@ -1822,6 +1915,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
         "hll_overlap_users": q_hll_overlap_users,
         "hll_rollup_union": q_hll_rollup_union,
+        "hll_ndv_users_by_type_day": q_hll_ndv_users_by_type_day,
+        "unigram_logprob_documents": q_unigram_logprob_documents,
+        "perplexity_buckets_documents": q_perplexity_buckets_documents,
         "near_dedup_tokens_invariant": q_near_dedup_tokens_invariant,
         "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
@@ -2425,6 +2521,33 @@ def oracle_sql() -> dict[str, str]:
                    SUM(cnt)::BIGINT AS sum_corpus_freq,
                    TRUE AS lp_in_range
             FROM w JOIN freq USING (w) GROUP BY doc_id
+        """,
+        "bigram_logprob_documents": """
+            WITH d AS (SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+                       FROM documents),
+                 bg AS (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(ws) - 1),
+                                              i -> ws[i] || ' ' || ws[i + 1])) AS k
+                        FROM d WHERE len(ws) >= 2),
+                 freq AS (SELECT k, COUNT(*) AS cnt FROM bg GROUP BY k)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                   SUM(cnt)::BIGINT AS sum_bigram_freq,
+                   TRUE AS lp_in_range
+            FROM bg JOIN freq USING (k) GROUP BY doc_id
+        """,
+        "perplexity_buckets_documents": """
+            WITH d AS (SELECT string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+                       FROM documents),
+                 t AS (SELECT COUNT(*)::BIGINT AS n_scored FROM d WHERE len(ws) >= 2)
+            SELECT b.ppl_bucket, t.n_scored, TRUE AS share_ok, TRUE AS order_ok
+            FROM (VALUES ('head'), ('middle'), ('tail')) b(ppl_bucket)
+            CROSS JOIN t
+        """,
+        "token_budget_documents": """
+            SELECT source, ((3 * SUM(n_chars)) // 5)::BIGINT AS budget,
+                   TRUE AS kept_le_budget, TRUE AS kept_maximal
+            FROM documents GROUP BY source
         """,
         "hash_split_documents": """
             SELECT 'train' AS split, TRUE AS frac_ok

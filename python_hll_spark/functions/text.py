@@ -201,6 +201,110 @@ def unigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
                  F.round(F.avg("__lp"), 6).alias("mean_log10_prob")))
 
 
+def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
+                   lam: float = 0.7, hot_keys: int = 30000,
+                   cache_out: list | None = None):
+    """CCNet-style corpus-self BIGRAM language-model score per doc: the
+    sequence-aware upgrade of ``unigram_logprob`` — a doc of common words
+    in gibberish ORDER now scores low too.  Each doc is scored by the mean
+    log10 of the interpolated conditional probability of its adjacent word
+    pairs:
+
+        p(w2 | w1) = lam * c(w1 w2)/c(w1)  +  (1 - lam) * c(w2)/T
+
+    (c = corpus counts, T = total word occurrences) — the classic
+    Jelinek-Mercer smoothing, so unseen CONTINUATIONS fall back to the
+    unigram model instead of -inf.  Like ``unigram_logprob`` this is an
+    aggregation, not a trained model: the corpus is its own LM, which is
+    exactly what a perplexity filter needs before any external model
+    exists.
+
+    Scale shape: ONE corpus explode builds BOTH vocabularies — unigram
+    keys carry no space, bigram keys exactly one, so a single
+    map-side-combined groupBy count serves as the joint frequency table
+    (persisted; vocab-sized, appended to ``cache_out``).  All probability
+    math happens on the VOCAB-sized bigram table (two vocab-vocab joins
+    for the c(w1)/c(w2) denominators — AQE picks the strategy), never on
+    occurrences.  The corpus-scale scoring pass then joins each bigram
+    occurrence against that scored table exactly once, with the same
+    Zipf-skew discipline as ``unigram_logprob``: the ``hot_keys`` most
+    frequent bigrams ("of the", "in a" — the bulk of occurrences, KBs of
+    rows) broadcast, only the balanced long tail takes the shuffle join.
+
+    Returns (id, n_bigrams, sum_bigram_freq, mean_log10_prob) for every
+    doc with >= 2 words (one-word/empty docs have no bigram — left-join
+    if you need them).  ``sum_bigram_freq`` is the SQL-exact integer
+    companion (sum of corpus bigram counts over the doc's bigrams) that
+    lets an oracle verify the explode/count/join machinery even though
+    float mean ordering is not bit-reproducible.  ``mean_log10_prob`` is
+    bounded in [log10((1-lam)/T), 0] by construction (c(w1 w2) <= c(w1),
+    c(w2) <= T)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    words = _norm_word_array(F.col(text_col))
+    idx = F.when(F.size(words) >= 2,
+                 F.sequence(F.lit(1), F.size(words) - 1)) \
+        .otherwise(F.array().cast("array<int>"))
+    bigrams = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.slice(words, i, 2)))
+    freq = (df.select(F.explode(F.concat(words, bigrams)).alias("k"))
+            .groupBy("k").agg(F.count("*").alias("cnt")).persist())
+    if cache_out is not None:
+        cache_out.append(freq)
+    uni = freq.where(~F.col("k").contains(" "))
+    # word total from the vocab-sized cache, not a second corpus scan
+    total = uni.agg(F.sum("cnt")).first()[0] or 0
+    u1 = uni.select(F.col("k").alias("__w1"), F.col("cnt").alias("__c_w1"))
+    u2 = uni.select(F.col("k").alias("__w2"), F.col("cnt").alias("__c_w2"))
+    p = (F.lit(lam) * F.col("cnt") / F.col("__c_w1")
+         + F.lit(1.0 - lam) * F.col("__c_w2") / F.lit(float(total or 1)))
+    model = (freq.where(F.col("k").contains(" "))
+             .withColumn("__w1", F.substring_index("k", " ", 1))
+             .withColumn("__w2", F.substring_index("k", " ", -1))
+             .join(u1, "__w1").join(u2, "__w2")
+             .select("k", F.col("cnt").alias("c_bigram"),
+                     F.log10(p).alias("__lp"))
+             .persist())
+    if cache_out is not None:
+        cache_out.append(model)
+    occ = df.select(F.col(id_col), F.explode(bigrams).alias("k"))
+    # deterministic hot set: vocab-sized sort, never corpus-sized
+    hot = model.orderBy(F.desc("c_bigram"), F.asc("k")).limit(hot_keys)
+    hot_scored = occ.join(F.broadcast(hot), "k")
+    tail_scored = (occ.join(F.broadcast(hot.select("k")), "k", "left_anti")
+                   .join(model, "k"))
+    return (hot_scored.unionByName(tail_scored)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("c_bigram").alias("sum_bigram_freq"),
+                 F.round(F.avg("__lp"), 6).alias("mean_log10_prob")))
+
+
+def perplexity_partition(scored: DataFrame,
+                         score_col: str = "mean_log10_prob",
+                         bucket_col: str = "ppl_bucket",
+                         k: int = 200) -> DataFrame:
+    """CCNet's head/middle/tail corpus partition: tag each scored doc by
+    which LM-score tercile it falls in — "head" is the top third (highest
+    mean log-prob = LOWEST perplexity = cleanest text), "tail" the
+    bottom.  Training recipes keep head+middle and drop or downweight
+    tail.
+
+    Thin naming wrapper over ``length_buckets`` (n_buckets=3), so the
+    tercile thresholds come from THIS library's mergeable KLL sketch in
+    one pass — no exact sort of 10^12 scores — and assignment is a pure
+    JVM projection against two broadcast doubles.  Bucket populations are
+    thirds up to the sketch's rank error plus score ties (duplicate docs
+    share an identical score and land in one bucket together)."""
+    from python_hll_spark.operators.quantiles import length_buckets
+
+    b = length_buckets(scored, score_col, n_buckets=3, k=k)
+    name = (F.when(F.col("bucket") == 2, F.lit("head"))
+            .when(F.col("bucket") == 1, F.lit("middle"))
+            .otherwise(F.lit("tail")))
+    return b.withColumn(bucket_col, name).drop("bucket")
+
+
 def boilerplate_ngram_stats(df, n: int = 5, min_docs: int = 2,
                             text_col: str = "text", id_col: str = "doc_id",
                             cache_out: list | None = None):

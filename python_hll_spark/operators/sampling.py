@@ -255,6 +255,102 @@ def mixture_sample(df: DataFrame, weights: dict[str, float],
     return sampled, plan
 
 
+def token_budget_select(df: DataFrame, budget,
+                        cost_col: str = "n_tokens",
+                        by: str | None = None,
+                        id_col: str = "doc_id", seed: int = 0,
+                        bucket_bits: int = 10,
+                        two_phase: bool = True) -> DataFrame:
+    """Select documents up to a TOKEN budget (the mixture-planning step of
+    an LLM data recipe: "take 50B tokens of web, 5B of code"), not a row
+    count: keep the maximal prefix, in deterministic hash order, whose
+    cumulative ``cost_col`` stays <= the budget.
+
+    Semantics (the contract unit tests pin): order rows by
+    (xxhash64(id, seed), id) within each ``by`` group; a row is kept iff
+    the running sum of ``cost_col`` up to AND INCLUDING it is <= the
+    group's budget.  Hash order is a uniform random order, so the kept
+    set is a uniform "first tokens" sample — and, like every sampler
+    here, a pure function of (id, seed): append-stable, partition-layout
+    -independent, regenerable months later.  ``budget`` is an int
+    (global, or every group when ``by`` is set) or a dict
+    {group: budget}; groups absent from a dict budget are dropped.
+
+    100 TB shape: the naive plan is one window cumsum ordered by hash —
+    a TOTAL SORT per group through a single reducer, which dies on a
+    dominant source.  Instead the prefix splits exactly into buckets
+    (``two_phase``): the top ``bucket_bits`` bits of the signed hash give
+    2^bucket_bits order-preserving buckets (arithmetic shift keeps signed
+    order); per-(group, bucket) token sums are a map-side-combined
+    aggregation to a G x 2^bits frame; a window over THAT tiny frame
+    finds each group's boundary bucket.  Rows in buckets whose running
+    total fits entirely -> kept with NO sort; rows past the boundary ->
+    dropped with no sort; only the ~1/2^bits of rows inside the boundary
+    bucket take the per-group sort, seeded with the prior buckets'
+    offset.  Decomposition is exact (bucket order refines hash order), so
+    the output is row-identical to the naive window — pinned by the
+    ``two_phase=False`` equivalence tests.  Rows only ever FILTER against
+    the broadcast bucket frame; the wide payload never shuffles except
+    the boundary sliver."""
+    grp = [by] if by else []
+    if isinstance(budget, dict):
+        if not by:
+            raise ValueError("dict budget requires a `by` group column")
+        bmap = F.create_map(*[x for g, b in budget.items()
+                              for x in (F.lit(g), F.lit(int(b)))])
+        budget_col = bmap[F.col(by)]
+    else:
+        budget_col = F.lit(int(budget))
+    h = F.xxhash64(F.col(id_col), F.lit(seed))
+    cost = F.col(cost_col).cast("long")
+    work = (df.withColumn("__h", h)
+              .withColumn("__budget", budget_col)
+              .where(F.col("__budget").isNotNull()))
+
+    if not two_phase:
+        w = (Window.partitionBy(*grp)
+             .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        return (work.withColumn("__cum", F.sum(cost).over(w))
+                .where(F.col("__cum") <= F.col("__budget"))
+                .drop("__h", "__budget", "__cum"))
+
+    bucket = F.shiftright("__h", 64 - bucket_bits)
+    work = work.withColumn("__bkt", bucket)
+    # tiny frame: G x 2^bucket_bits rows of (group, bucket, token sum)
+    sums = (work.groupBy(*grp, "__bkt")
+            .agg(F.sum(cost).alias("__bsum")))
+    wb = (Window.partitionBy(*grp).orderBy(F.col("__bkt").asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    marks = (sums.withColumn("__cum_through", F.sum("__bsum").over(wb))
+             .withColumn("__cum_before",
+                         F.col("__cum_through") - F.col("__bsum"))
+             .select(*grp, "__bkt", "__cum_before", "__cum_through"))
+    # null-safe group equality: a NULL group key is a group like any other
+    # under the naive window, so the marks join must not drop it
+    marks_r = marks.select(
+        *[F.col(c).alias(f"__m_{i}") for i, c in enumerate(grp)],
+        F.col("__bkt").alias("__m_bkt"), "__cum_before", "__cum_through")
+    cond = F.col("__bkt") == F.col("__m_bkt")
+    for i, c in enumerate(grp):
+        cond = cond & F.col(c).eqNullSafe(F.col(f"__m_{i}"))
+    tagged = (work.join(F.broadcast(marks_r), cond)
+              .drop("__m_bkt", *[f"__m_{i}" for i in range(len(grp))]))
+    full_keep = (tagged.where(F.col("__cum_through") <= F.col("__budget")))
+    boundary = tagged.where((F.col("__cum_before") <= F.col("__budget"))
+                            & (F.col("__cum_through") > F.col("__budget")))
+    wr = (Window.partitionBy(*grp)
+          .orderBy(F.col("__h").asc(), F.col(id_col).asc())
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    boundary_keep = (boundary
+                     .withColumn("__cum",
+                                 F.col("__cum_before") + F.sum(cost).over(wr))
+                     .where(F.col("__cum") <= F.col("__budget"))
+                     .drop("__cum"))
+    return (full_keep.unionByName(boundary_keep)
+            .select(*df.columns))
+
+
 def hash_split(df: DataFrame, fractions: dict[str, float],
                id_col: str = "doc_id", seed: int = 0,
                split_col: str = "split") -> DataFrame:
