@@ -162,7 +162,8 @@ def _prepare_corpus(args) -> None:
         strip_spans_min_docs=args.strip_spans_min_docs or None,
         strip_spans_n=args.strip_spans_n,
         gopher_rules=args.gopher_rules,
-        decontaminate_ngram_n=args.decontaminate_ngram_n or None)
+        decontaminate_ngram_n=args.decontaminate_ngram_n or None,
+        ppl_drop_tail=args.ppl_drop_tail)
     eval_df = spark.read.parquet(args.eval_input) if args.eval_input else None
     clean, metrics = prepare_corpus(df, cfg, eval_df=eval_df)
     clean.write.mode("overwrite").parquet(args.output)
@@ -468,6 +469,9 @@ def main(argv=None) -> None:
     cp.add_argument("--strip-spans-n", type=int, default=5)
     cp.add_argument("--gopher-rules", action="store_true",
                     help="AND the Gopher rule gate into the quality filter")
+    cp.add_argument("--ppl-drop-tail", action="store_true",
+                    help="CCNet perplexity filter: drop the worst "
+                         "bigram-LM tercile after exact dedup")
     cp.add_argument("--decontaminate-ngram-n", type=int, default=0,
                     help="extra n-gram collision decontamination tier "
                          "(needs --eval-input; 0=off)")

@@ -70,6 +70,11 @@ class CorpusFilterConfig:
     # extra n-gram collision decontamination tier (GPT-3 13-gram method;
     # needs eval_df).  None disables
     decontaminate_ngram_n: int | None = None
+    # CCNet perplexity filter: score the exact-deduped corpus with the
+    # corpus-self interpolated bigram LM, tercile it head/middle/tail,
+    # drop the tail (dedup runs FIRST so boilerplate repeats don't skew
+    # the LM).  Unscored docs (< 2 words) drop with the tail
+    ppl_drop_tail: bool = False
 
 
 def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
@@ -189,6 +194,25 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
         metrics["rows_after_model"] = int(
             model_obs.get["rows_after_model"] or 0)
 
+    if cfg.ppl_drop_tail:
+        from python_hll_spark.functions.text import (bigram_logprob,
+                                                     perplexity_partition)
+        lm_caches: list = []
+        # narrow (id, score) frame persisted so the KLL threshold pass and
+        # the assignment pass don't each re-run the corpus-scale scoring
+        scored_lm = bigram_logprob(exact_unique, text_col=text_col,
+                                   id_col=id_col,
+                                   cache_out=lm_caches).persist()
+        keep_ids = (perplexity_partition(scored_lm)
+                    .where(F.col("ppl_bucket") != "tail").select(id_col))
+        kept = exact_unique.join(keep_ids, id_col, "left_semi").persist()
+        metrics["rows_after_ppl_filter"] = kept.count()
+        exact_unique.unpersist()
+        scored_lm.unpersist()
+        for c in lm_caches:
+            c.unpersist()
+        exact_unique = kept
+
     if cfg.run_near_dedup:
         clean = near_dedup(exact_unique, text_col=text_col, id_col=id_col,
                            threshold=cfg.near_dup_threshold,
@@ -241,7 +265,9 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
         metrics.get("rows_after_ngram_decontamination",
                     metrics.get("rows_after_decontamination",
                                 metrics.get("rows_after_near_dedup",
-                                            metrics["rows_after_exact_dedup"]))))
+                                            metrics.get(
+                                                "rows_after_ppl_filter",
+                                                metrics["rows_after_exact_dedup"])))))
     return clean, metrics
 
 

@@ -455,3 +455,36 @@ def test_prepare_corpus_strip_spans_stage(spark, documents):
     # original (never longer), and at least one actually shrank
     assert all(len(out[d]) <= len(norm[d]) for d in out)
     assert any(len(out[d]) < len(norm[d]) for d in out)
+
+
+def test_prepare_corpus_ppl_drop_tail_stage(spark, documents):
+    """CCNet perplexity filter inside prepare_corpus: after exact dedup,
+    the worst bigram-LM tercile drops — every scored doc that was dropped
+    scores strictly below every doc that was kept."""
+    from python_hll_spark.functions.text import bigram_logprob
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    docs = documents.select("doc_id", "source", "text")
+    base_cfg = CorpusFilterConfig(min_quality=0.0, min_words=0,
+                                  run_near_dedup=False)
+    base, m0 = prepare_corpus(docs, base_cfg)          # stage OFF
+    cfg = CorpusFilterConfig(min_quality=0.0, min_words=0,
+                             run_near_dedup=False, ppl_drop_tail=True)
+    clean, metrics = prepare_corpus(docs, cfg)         # stage ON
+    assert metrics["rows_after_exact_dedup"] == m0["rows_after_exact_dedup"]
+    n_dedup = metrics["rows_after_exact_dedup"]
+    n_kept = metrics["rows_after_ppl_filter"]
+    assert metrics["rows_out"] == n_kept
+    assert abs(n_kept / n_dedup - 2 / 3) < 0.1      # two terciles survive
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    # the stage-OFF output IS the frame the stage scored: re-score it
+    # independently and check the cut is a clean threshold
+    scores = {r["doc_id"]: r["mean_log10_prob"]
+              for r in bigram_logprob(
+                  base.select("doc_id", "text")).collect()}
+    assert kept <= set(scores)           # unscored docs never survive
+    kept_scores = [s for d, s in scores.items() if d in kept]
+    drop_scores = [s for d, s in scores.items() if d not in kept]
+    assert kept_scores and drop_scores
+    assert max(drop_scores) < min(kept_scores)
