@@ -298,6 +298,40 @@ def _write_shards(args) -> None:
     spark.stop()
 
 
+def _select_budget(args) -> None:
+    """Token-budget selection: keep the deterministic hash-order prefix
+    of the corpus whose cumulative ``--cost-col`` fits the budget —
+    per ``--by`` group when ``--budgets`` gives ``group=tokens`` pairs,
+    or globally with ``--budget N``.  The mixture-planning sibling of
+    write-shards: run it on a prepared corpus to cut an exact-token-size
+    training mix."""
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.operators.sampling import token_budget_select
+
+    spark = get_spark("select-budget")
+    df = spark.read.parquet(args.input)
+    if args.budgets:
+        budget = {k: int(v) for k, v in
+                  (kv.split("=") for kv in args.budgets.split(","))}
+        if not args.by:
+            raise SystemExit("--budgets requires --by")
+    elif args.budget is not None:
+        budget = args.budget
+    else:
+        raise SystemExit("pass --budget N or --budgets g=N,...")
+    sel = token_budget_select(df, budget, cost_col=args.cost_col,
+                              by=args.by or None, id_col=args.id_col,
+                              seed=args.seed)
+    sel.write.mode("overwrite").parquet(args.output)
+    out = spark.read.parquet(args.output)
+    kept = out.agg(F.count("*").alias("n"),
+                   F.sum(args.cost_col).alias("cost")).first()
+    print(json.dumps({"rows": kept["n"], "cost_kept": int(kept["cost"] or 0),
+                      "seed": args.seed}))
+    spark.stop()
+
+
 def _ingest_crawl(args) -> None:
     """JSONL crawl dump -> documents-shaped parquet, with every rejected
     line landing in the quarantine sink (raw line + reason) instead of
@@ -528,6 +562,25 @@ def main(argv=None) -> None:
                     help="row key; comma-separated for composite keys "
                          "(e.g. doc_id,chunk_idx for a chunked corpus)")
     ws.set_defaults(fn=_write_shards)
+
+    sb = sub.add_parser("select-budget",
+                        help="deterministic token-budget selection "
+                             "(hash-order prefix per group fitting a "
+                             "token budget)")
+    sb.add_argument("--input", required=True)
+    sb.add_argument("--output", required=True)
+    sb.add_argument("--cost-col", required=True,
+                    help="integer cost column (n_tok, n_chars, ...)")
+    sb.add_argument("--budget", type=int, default=None,
+                    help="global budget (or every group's when --by set)")
+    sb.add_argument("--budgets", default="",
+                    help="per-group budgets, e.g. web=50000000,code=5000000 "
+                         "(groups absent from the list are dropped)")
+    sb.add_argument("--by", default="",
+                    help="group column for per-group budgets")
+    sb.add_argument("--id-col", default="doc_id")
+    sb.add_argument("--seed", type=int, default=42)
+    sb.set_defaults(fn=_select_budget)
 
     ic = sub.add_parser("ingest-crawl",
                         help="JSONL crawl dump -> documents parquet "

@@ -425,3 +425,52 @@ def test_spark_submit_tokenize_then_profile(tmp_path, spark):
     assert rec["nonpad_tokens"] == n_words + 300
     back = spark.read.parquet(packed)
     assert back.where("size(tokens) <> 128").count() == 0
+
+
+@pytest.mark.slow
+def test_spark_submit_select_budget(tmp_path, spark):
+    """select-budget CLI: per-group budgets parse, the selection fits
+    each budget and is maximal, and the output is the greedy hash-order
+    prefix (validated against the library call in-process)."""
+    import shutil
+    if shutil.which(SPARK_SUBMIT) is None:
+        pytest.skip("spark-submit not on PATH")
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.operators.sampling import token_budget_select
+
+    inp = str(tmp_path / "docs")
+    df = spark.range(0, 3000).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") % 3).cast("string").alias("source"),
+        (F.col("id") % 50 + 1).alias("n_tok"))
+    df.write.parquet(inp)
+
+    zip_path = _make_pyfiles_zip(tmp_path)
+    out = str(tmp_path / "sel")
+    job = os.path.join(REPO, "python_hll_spark", "plans", "jobs.py")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "select-budget", "--input", inp, "--output", out,
+         "--cost-col", "n_tok", "--by", "source",
+         "--budgets", "0=9000,1=5000", "--seed", "7"],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    rec = [json.loads(l) for l in res.stdout.splitlines()
+           if l.startswith("{")][-1]
+    back = spark.read.parquet(out)
+    assert rec["rows"] == back.count()
+    # group '2' absent from --budgets: dropped entirely
+    assert back.where("source = '2'").count() == 0
+    per = {r["source"]: r["c"] for r in
+           back.groupBy("source").agg(F.sum("n_tok").alias("c")).collect()}
+    assert per["0"] <= 9000 and per["1"] <= 5000
+    assert per["0"] > 9000 - 50 and per["1"] > 5000 - 50  # maximal
+    # byte-identical to the library call: the CLI adds no hidden state
+    lib = token_budget_select(df, {"0": 9000, "1": 5000}, cost_col="n_tok",
+                              by="source", seed=7)
+    assert (sorted(r["doc_id"] for r in back.collect())
+            == sorted(r["doc_id"] for r in lib.collect()))
