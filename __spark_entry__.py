@@ -740,6 +740,32 @@ def q_bigram_logprob_documents(spark, sf_dir):
         .alias("lp_in_range"))
 
 
+def q_bigram_logprob_tokens_documents(spark, sf_dir):
+    """Tokens-path twin of bigram_logprob (8-byte packed keys, the
+    100 TB shape): the corpus is bijectively encoded through the
+    library's own vocab/encode, so the integer companions must equal the
+    text path's word-string oracle EXACTLY — one query cross-validating
+    tokenize and the LM at once."""
+    import math
+
+    from python_hll_spark.functions.text import bigram_logprob_tokens
+    from python_hll_spark.operators.tokenize import (build_vocab,
+                                                     encode_corpus)
+
+    docs = _read(spark, sf_dir, "documents")
+    total = docs.select(
+        F.sum(F.size(_norm_words(F.col("text")))).alias("t")).collect()[0]["t"]
+    vocab = build_vocab(docs, vocab_size=10**8, min_count=1)
+    lp = bigram_logprob_tokens(encode_corpus(docs, vocab), lam=0.7)
+    lo = math.log10(0.3 / total) - 1e-6
+    return lp.select(
+        "doc_id",
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("sum_bigram_freq").cast("long").alias("sum_bigram_freq"),
+        ((F.col("mean_log10_prob") >= lo) & (F.col("mean_log10_prob") <= 0))
+        .alias("lp_in_range"))
+
+
 def q_perplexity_buckets_documents(spark, sf_dir):
     """CCNet head/middle/tail corpus partition by bigram-LM score
     terciles (KLL thresholds): the scored-doc total is SQL-exact (every
@@ -1918,6 +1944,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hll_ndv_users_by_type_day": q_hll_ndv_users_by_type_day,
         "unigram_logprob_documents": q_unigram_logprob_documents,
         "perplexity_buckets_documents": q_perplexity_buckets_documents,
+        "bigram_logprob_tokens_documents": q_bigram_logprob_tokens_documents,
         "near_dedup_tokens_invariant": q_near_dedup_tokens_invariant,
         "hll_ndv_parts_by_returnflag": q_hll_ndv_parts_by_returnflag,
         "cms_top1_by_event_type": q_cms_top1_by_event_type,
@@ -2523,6 +2550,23 @@ def oracle_sql() -> dict[str, str]:
             FROM w JOIN freq USING (w) GROUP BY doc_id
         """,
         "bigram_logprob_documents": """
+            WITH d AS (SELECT doc_id,
+                       string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+                       FROM documents),
+                 bg AS (SELECT doc_id,
+                        unnest(list_transform(generate_series(1, len(ws) - 1),
+                                              i -> ws[i] || ' ' || ws[i + 1])) AS k
+                        FROM d WHERE len(ws) >= 2),
+                 freq AS (SELECT k, COUNT(*) AS cnt FROM bg GROUP BY k)
+            SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams,
+                   SUM(cnt)::BIGINT AS sum_bigram_freq,
+                   TRUE AS lp_in_range
+            FROM bg JOIN freq USING (k) GROUP BY doc_id
+        """,
+        "bigram_logprob_tokens_documents": """
+            -- identical to the text path's oracle: the corpus is encoded
+            -- bijectively (full vocab, 64-bit word hashes), so bigram-of-id
+            -- counts equal bigram-of-word counts exactly
             WITH d AS (SELECT doc_id,
                        string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
                        FROM documents),

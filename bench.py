@@ -382,6 +382,25 @@ def _aux_worker(n_cores: int) -> dict:
         dsir_walls.append(time.time() - t0)
     lr.unpersist()
 
+    # interpolated-bigram LM (CCNet perplexity filter) over the same
+    # subset — this is the FULL cycle per rep: build the joint uni+bigram
+    # frequency table (one corpus explode, ~10^8-key aggregation) AND
+    # score every doc through the hot-broadcast/tail-shuffle join.  Much
+    # heavier than the classifier by design: it aggregates a corpus-self
+    # model, not just a weight gather.  2 reps (it dominates aux wall)
+    from python_hll_spark.functions.text import bigram_logprob_tokens
+    lm_walls = []
+    for _ in range(2):
+        lm_caches = []
+        t0 = time.time()
+        bigram_logprob_tokens(seqs, tokens_col="tokens", id_col="doc_id",
+                              cache_out=lm_caches) \
+            .agg(F.sum("sum_bigram_freq"),
+                 F.sum("mean_log10_prob")).collect()
+        lm_walls.append(time.time() - t0)
+        for c in lm_caches:
+            c.unpersist()
+
     spark.stop()
     return {"murmur3_strings_per_sec": int(n_ids / min(mm_walls)),
             "murmur3_wall_sec": round(min(mm_walls), 2), "n_strings": n_ids,
@@ -394,7 +413,9 @@ def _aux_worker(n_cores: int) -> dict:
             "chunk_tokens_per_sec": int(n_cls_tokens / min(chunk_walls)),
             "chunk_wall_sec": round(min(chunk_walls), 2),
             "dsir_tokens_per_sec": int(n_cls_tokens / min(dsir_walls)),
-            "dsir_wall_sec": round(min(dsir_walls), 2)}
+            "dsir_wall_sec": round(min(dsir_walls), 2),
+            "lm_tokens_per_sec": int(n_cls_tokens / min(lm_walls)),
+            "lm_wall_sec": round(min(lm_walls), 2)}
 
 
 def run_headline() -> tuple[float, dict]:
@@ -584,7 +605,8 @@ def main() -> None:
           f"srp-bucket {aux['srp_vectors_per_sec']:,} vec/s; "
           f"classifier {aux['classifier_tokens_per_sec']:,} tok/s; "
           f"chunking {aux['chunk_tokens_per_sec']:,} tok/s; "
-          f"dsir {aux['dsir_tokens_per_sec']:,} tok/s",
+          f"dsir {aux['dsir_tokens_per_sec']:,} tok/s; "
+          f"bigram-lm {aux['lm_tokens_per_sec']:,} tok/s",
           file=sys.stderr)
 
     incr = _sub(["--incremental-worker", str(CPUS),
@@ -668,6 +690,7 @@ def main() -> None:
         "incr_eff_1_4": incr["scaling_efficiency_1_to_4"],
         "cls_tok_per_sec": aux["classifier_tokens_per_sec"],
         "dsir_tok_per_sec": aux["dsir_tokens_per_sec"],
+        "lm_tok_per_sec": aux["lm_tokens_per_sec"],
         "bus_ok": result["bus_health"]["all_scaling_legs_healthy"],
         "full_record": "BENCH/bench_latest_full.json",
     }

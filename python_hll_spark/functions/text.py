@@ -280,6 +280,67 @@ def bigram_logprob(df, text_col: str = "text", id_col: str = "doc_id",
                  F.round(F.avg("__lp"), 6).alias("mean_log10_prob")))
 
 
+def bigram_logprob_tokens(df, tokens_col: str = "tokens",
+                          id_col: str = "doc_id", lam: float = 0.7,
+                          hot_keys: int = 262144,
+                          cache_out: list | None = None):
+    """``bigram_logprob`` for the pre-tokenized input shape (the
+    north-rule table): identical Jelinek-Mercer math, but every key is an
+    8-BYTE LONG instead of a string — the right 100 TB shape, since the
+    frequency shuffle and the scoring join move fixed-width ints, never
+    text.  Unigram keys are ``-(t+1)`` (strictly negative), bigram keys
+    ``(t1 << 32) | t2`` (non-negative) — disjoint by sign, so ONE corpus
+    explode still builds both vocabularies in a single map-side-combined
+    aggregation.  Requires token ids in [0, 2^31): true of any vocabulary
+    (``tokenize.build_vocab`` ids are 1..V, OOV 0).
+
+    Same outputs and same constructive bounds as the text path; the
+    integer companions are exactly equal to the text path's on a
+    bijectively-encoded corpus (pinned by the parity test).  The hot-set
+    default is larger than the text path's (2^18 vs 30k) because hot rows
+    here are fixed 24-byte tuples — measured 18% faster end-to-end at
+    2 M docs / 478 M tokens than 30k, while 2^20 regresses (the hot sort
+    and broadcast start to dominate)."""
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    toks = F.col(tokens_col)
+    nb = F.greatest(F.size(toks) - 1, F.lit(0))
+    pack = lambda a, b: (F.shiftleft(a.cast("bigint"), 32)  # noqa: E731
+                         + b.cast("bigint"))
+    bigram_keys = F.zip_with(F.slice(toks, 1, nb), F.slice(toks, 2, nb), pack)
+    uni_keys = F.transform(toks, lambda t: -(t.cast("bigint") + 1))
+    freq = (df.select(F.explode(F.concat(uni_keys, bigram_keys)).alias("k"))
+            .groupBy("k").agg(F.count("*").alias("cnt")).persist())
+    if cache_out is not None:
+        cache_out.append(freq)
+    uni = freq.where(F.col("k") < 0)
+    total = uni.agg(F.sum("cnt")).first()[0] or 0
+    u1 = uni.select(F.col("k").alias("__k1"), F.col("cnt").alias("__c_w1"))
+    u2 = uni.select(F.col("k").alias("__k2"), F.col("cnt").alias("__c_w2"))
+    p = (F.lit(lam) * F.col("cnt") / F.col("__c_w1")
+         + F.lit(1.0 - lam) * F.col("__c_w2") / F.lit(float(total or 1)))
+    model = (freq.where(F.col("k") >= 0)
+             .withColumn("__k1", -(F.shiftright("k", 32) + 1))
+             .withColumn("__k2",
+                         -(F.col("k").bitwiseAND(F.lit(4294967295)) + 1))
+             .join(u1, "__k1").join(u2, "__k2")
+             .select("k", F.col("cnt").alias("c_bigram"),
+                     F.log10(p).alias("__lp"))
+             .persist())
+    if cache_out is not None:
+        cache_out.append(model)
+    occ = df.select(F.col(id_col), F.explode(bigram_keys).alias("k"))
+    hot = model.orderBy(F.desc("c_bigram"), F.asc("k")).limit(hot_keys)
+    hot_scored = occ.join(F.broadcast(hot), "k")
+    tail_scored = (occ.join(F.broadcast(hot.select("k")), "k", "left_anti")
+                   .join(model, "k"))
+    return (hot_scored.unionByName(tail_scored)
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_bigrams"),
+                 F.sum("c_bigram").alias("sum_bigram_freq"),
+                 F.round(F.avg("__lp"), 6).alias("mean_log10_prob")))
+
+
 def perplexity_partition(scored: DataFrame,
                          score_col: str = "mean_log10_prob",
                          bucket_col: str = "ppl_bucket",

@@ -226,6 +226,60 @@ def test_bigram_score_bounds(spark):
     assert bad.count() == 0
 
 
+def test_bigram_tokens_matches_python_model(spark):
+    from python_hll_spark.functions.text import bigram_logprob_tokens
+    token_docs = [[1, 2, 3, 1, 2], [1, 2, 4], [7], [], [0, 0, 5]]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(token_docs)],
+        "doc_id long, tokens array<int>")
+    # token-list mirror (the text-path mirror would miscount the empty
+    # doc: "" normalizes to one empty-string WORD, [] has zero tokens)
+    lam, uni, big, total = 0.7, {}, {}, 0
+    for t in token_docs:
+        for x in t:
+            uni[x] = uni.get(x, 0) + 1
+            total += 1
+        for a, b in zip(t, t[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    expect = {}
+    for i, t in enumerate(token_docs):
+        pairs = list(zip(t, t[1:]))
+        if not pairs:
+            continue
+        lps = [math.log10(lam * big[p] / uni[p[0]]
+                          + (1 - lam) * uni[p[1]] / total) for p in pairs]
+        expect[i] = (len(pairs), sum(big[p] for p in pairs),
+                     sum(lps) / len(lps))
+    got = {r["doc_id"]: r for r in
+           bigram_logprob_tokens(df, lam=0.7).collect()}
+    assert set(got) == set(expect)
+    for i, (nb, sf, lp) in expect.items():
+        assert got[i]["n_bigrams"] == nb
+        assert got[i]["sum_bigram_freq"] == sf
+        assert abs(got[i]["mean_log10_prob"] - lp) < 1e-5
+
+
+def test_bigram_tokens_parity_with_text_path(spark):
+    """A bijectively-encoded corpus scores IDENTICALLY through the
+    tokens path: exact integer companions, float scores to 1e-6."""
+    from python_hll_spark.functions.text import (bigram_logprob,
+                                                 bigram_logprob_tokens)
+    from python_hll_spark.operators.tokenize import (build_vocab,
+                                                     encode_corpus)
+
+    docs = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .limit(300).select("doc_id", "text", "source"))
+    vocab = build_vocab(docs, vocab_size=10**7, min_count=1)
+    enc = encode_corpus(docs, vocab)
+    t = {r["doc_id"]: r for r in bigram_logprob(docs).collect()}
+    k = {r["doc_id"]: r for r in bigram_logprob_tokens(enc).collect()}
+    assert set(t) == set(k) and t
+    for d in t:
+        assert t[d]["n_bigrams"] == k[d]["n_bigrams"]
+        assert t[d]["sum_bigram_freq"] == k[d]["sum_bigram_freq"]
+        assert abs(t[d]["mean_log10_prob"] - k[d]["mean_log10_prob"]) < 1e-5
+
+
 # ------------------------------------------------------- perplexity buckets
 
 def test_perplexity_partition_terciles_and_monotone(spark):
