@@ -1896,7 +1896,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dedup_documents": q_minhash_dedup_documents,
         "simhash_documents": q_simhash_documents,
         "ivf_ann_recall": q_ivf_ann_recall,
-        "embedding_dup_recall": q_embedding_dup_recall,
+        # embedding_dup_recall rides the tail: the embedding-dedup family
+        # keeps four prefix rows (ann_topk, ivf, semdedup, and this one's
+        # SRP-bucket machinery inside semdedup); its slot goes to
+        # strip_spans_documents, whose ONLY query that is
         "seqs_ndv_tokens_by_source": q_seqs_ndv_tokens_by_source,
         "near_dedup_documents": q_near_dedup_documents,
         "sample_counts_by_source": q_sample_counts_by_source,
@@ -1925,7 +1928,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_documents": q_incremental_dedup_documents,
         "incremental_near_dedup_documents": q_incremental_near_dedup_documents,
         "refresh_corpus_documents": q_refresh_corpus_documents,
-        "refresh_corpus_seqs": q_refresh_corpus_seqs,
+        # refresh_corpus_seqs rides the tail: it is the tokens-path
+        # VARIANT of the row above (same composition, same store ops);
+        # its slot goes to boilerplate_documents
         "winnowing_documents": q_winnowing_documents,
         "url_dedup_documents": q_url_dedup_documents,
         "domain_cap_documents": q_domain_cap_documents,
@@ -1934,11 +1939,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_documents": q_line_dedup_documents,
         "ngram_decontaminate_documents": q_ngram_decontaminate_documents,
         "strip_spans_documents": q_strip_spans_documents,
-        # boilerplate_ngram_stats' ONLY query — promoted into the recording
-        # prefix (r04 cut at exactly 50) in place of the 2nd of five
-        # HLL-NDV prefix rows; parts_by_returnflag rides the tail below
         "boilerplate_documents": q_boilerplate_documents,
         "jaccard_pairs_documents": q_jaccard_pairs_documents,
+        "embedding_dup_recall": q_embedding_dup_recall,
+        "refresh_corpus_seqs": q_refresh_corpus_seqs,
         "hll_overlap_users": q_hll_overlap_users,
         "hll_rollup_union": q_hll_rollup_union,
         "hll_ndv_users_by_type_day": q_hll_ndv_users_by_type_day,
