@@ -53,8 +53,11 @@ def _score_segments(flat: np.ndarray, offs: np.ndarray, w: np.ndarray,
         valid[last[(last >= 0) & (last < len(flat) - 1)]] = False
         bcontrib = np.where(valid, bcontrib, 0.0)
         bcsum = np.concatenate([[0.0], np.cumsum(bcontrib)])
-        s, e = offs[:-1], np.minimum(offs[1:] - 1, len(flat) - 1)
-        e = np.maximum(e, s)
+        # clamp BOTH ends into bcsum's index range: a trailing empty doc
+        # has s == offs[-1] == len(flat), one past bcsum's last slot
+        cap = len(flat) - 1
+        s = np.minimum(offs[:-1], cap)
+        e = np.maximum(np.minimum(offs[1:] - 1, cap), s)
         tot_sum = tot_sum + (bcsum[e] - bcsum[s])
         tot_n = tot_n + np.maximum(lens - 1, 0).astype(np.float64)
     mean = np.divide(tot_sum, tot_n, out=np.zeros(n_docs), where=tot_n > 0)

@@ -949,6 +949,12 @@ def near_store_write(sig_df: DataFrame, path: str, bands: int = 32,
         # appends must match the existing build; overwrite REPLACES the
         # build, so its parameters only rewrite meta.json
         near_store_check(path, num_hashes=num_hashes, bands=bands, n=n)
+        # a pre-batch_id flat store would be SHADOWED by the first
+        # partitioned append (Spark ignores root-level files once a
+        # batch_id= dir exists) — move its files under batch_id=legacy
+        import os
+        for sub in ("sigs", "bands"):
+            migrate_flat_store_layout(os.path.join(path, sub))
         if batch_id is None:
             import uuid
             batch_id = uuid.uuid4().hex[:12]
@@ -1004,42 +1010,83 @@ def near_store_init(spark, path: str, id_type: str = "bigint",
                              "n": n, "id_col": id_col})
 
 
+def _nfiles(d: str) -> int:
+    import glob
+    import os
+    return len(glob.glob(os.path.join(d, "**", "*.parquet"),
+                         recursive=True))
+
+
+def _compact_swap(spark, live: str, tmp: str, old: str,
+                  target_partitions: int, distinct: bool = False) -> dict:
+    """The one atomic-swap compaction recipe both store kinds share
+    (local FS; object stores substitute their commit protocol): read the
+    live directory, rewrite into ``{tmp}/batch_id=compacted`` with
+    ``target_partitions`` files, rename live aside to ``old``, rename tmp
+    in, delete old.  Returns file counts before/after for ops logging."""
+    import os
+    import shutil
+
+    before = _nfiles(live)
+    df = spark.read.parquet(live)
+    if "batch_id" in df.columns:
+        df = df.drop("batch_id")
+    if distinct:
+        df = df.distinct()
+    shutil.rmtree(tmp, ignore_errors=True)
+    (df.repartition(target_partitions)
+     .write.mode("overwrite").parquet(os.path.join(tmp,
+                                                   "batch_id=compacted")))
+    shutil.rmtree(old, ignore_errors=True)
+    os.rename(live, old)
+    os.rename(tmp, live)
+    shutil.rmtree(old)
+    return {"files_before": before, "files_after": _nfiles(live)}
+
+
+def migrate_flat_store_layout(d: str) -> bool:
+    """One-time, idempotent move of pre-``batch_id=`` root-level parquet
+    part files into ``{d}/batch_id=legacy/``.
+
+    Spark's partition discovery IGNORES root-level data files once any
+    ``batch_id=`` subdirectory exists, so the FIRST new-layout append to
+    a store written before the batch_id layout would silently hide the
+    entire dedup history from every later probe (and a subsequent compact
+    would delete it).  Every append path calls this first; per-file
+    ``os.rename`` is atomic and a crash mid-migration resumes on the next
+    append.  Returns True if any file moved."""
+    import os
+    if not os.path.isdir(d):
+        return False
+    flat = [f for f in os.listdir(d)
+            if not f.startswith((".", "_"))
+            and os.path.isfile(os.path.join(d, f))]
+    if not flat:
+        return False
+    dest = os.path.join(d, "batch_id=legacy")
+    os.makedirs(dest, exist_ok=True)
+    for f in flat:
+        os.rename(os.path.join(d, f), os.path.join(dest, f))
+    return True
+
+
 def near_store_compact(spark, path: str, target_partitions: int = 8) -> dict:
     """Rewrite a store's accumulated per-batch appends into
     ``target_partitions`` files per side and atomically swap them in — the
     ops pass a year of daily refreshes needs (hundreds of small
     ``batch_id=`` directories would otherwise make every probe open
     hundreds of tiny parquet footers).  Probe results are byte-identical
-    before/after; only the file layout changes.
-
-    Swap recipe (local FS; object stores substitute their commit
-    protocol): write to ``{path}/.compact-<side>``, rename the live
-    directory aside, rename the compacted one in, delete the old.
-    Returns per-side file counts before/after for ops logging."""
-    import glob
+    before/after; only the file layout changes (recipe: ``_compact_swap``)."""
     import os
-    import shutil
-
-    def _nfiles(d: str) -> int:
-        return len(glob.glob(os.path.join(d, "**", "*.parquet"),
-                             recursive=True))
 
     stats = {}
     for sub in ("sigs", "bands"):
         live = os.path.join(path, sub)
-        before = _nfiles(live)
-        tmp = os.path.join(path, f".compact-{sub}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        (spark.read.parquet(live).drop("batch_id")
-         .repartition(target_partitions)
-         .write.mode("overwrite")
-         .parquet(os.path.join(tmp, "batch_id=compacted")))
-        old = os.path.join(path, f".old-{sub}")
-        shutil.rmtree(old, ignore_errors=True)
-        os.rename(live, old)
-        os.rename(tmp, live)
-        shutil.rmtree(old)
-        stats[sub] = {"files_before": before, "files_after": _nfiles(live)}
+        migrate_flat_store_layout(live)
+        stats[sub] = _compact_swap(
+            spark, live, tmp=os.path.join(path, f".compact-{sub}"),
+            old=os.path.join(path, f".old-{sub}"),
+            target_partitions=target_partitions)
     return stats
 
 
@@ -1047,32 +1094,13 @@ def fp_store_compact(spark, path: str, target_partitions: int = 8) -> dict:
     """Compact an incremental-dedup FINGERPRINT store (per-batch
     ``batch_id=`` appends of (fp) rows, written by the refresh-corpus
     CLI) into ``target_partitions`` files — same atomic-swap recipe as
-    ``near_store_compact``, plus a ``distinct()``: fingerprints are
-    idempotent set members, so re-crawled duplicates across batches
-    collapse for free here."""
-    import glob
-    import os
-    import shutil
-
-    def _nfiles(d: str) -> int:
-        return len(glob.glob(os.path.join(d, "**", "*.parquet"),
-                             recursive=True))
-
-    before = _nfiles(path)
-    df = spark.read.parquet(path)
-    if "batch_id" in df.columns:
-        df = df.drop("batch_id")
-    tmp = path.rstrip("/") + ".compact-tmp"
-    shutil.rmtree(tmp, ignore_errors=True)
-    (df.distinct().repartition(target_partitions)
-     .write.mode("overwrite").parquet(os.path.join(tmp,
-                                                   "batch_id=compacted")))
-    old = path.rstrip("/") + ".old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old)
-    return {"files_before": before, "files_after": _nfiles(path)}
+    ``near_store_compact`` (``_compact_swap``), plus a ``distinct()``:
+    fingerprints are idempotent set members, so re-crawled duplicates
+    across batches collapse for free here."""
+    migrate_flat_store_layout(path)
+    return _compact_swap(spark, path, tmp=path.rstrip("/") + ".compact-tmp",
+                         old=path.rstrip("/") + ".old",
+                         target_partitions=target_partitions, distinct=True)
 
 
 def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,

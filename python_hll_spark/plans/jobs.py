@@ -248,6 +248,8 @@ def _refresh_corpus(args) -> None:
     if not args.skip_store_append:
         # safe w.r.t. recache-by-path: refresh_corpus localCheckpoints the
         # survivors, so these frames no longer read the store paths
+        from python_hll_spark.operators.dedup import migrate_flat_store_layout
+        migrate_flat_store_layout(args.fp_store)  # pre-batch_id stores
         new_fps.write.mode("overwrite").parquet(
             f"{args.fp_store}/batch_id={batch_id}")
         near_store_write(new_sigs, args.near_store, bands=args.bands,
@@ -396,13 +398,15 @@ def _tokenize_corpus(args) -> None:
     else:
         vocab = build_vocab(df, args.vocab_size, text_col=args.text_col,
                             min_count=args.min_count)
+    # materialize driver-side ONCE (vocabulary-scale, <= a few MB): the
+    # lazy build/extend plan re-scans the whole corpus per action — the
+    # final vocab_size must not cost a third corpus pass — and
+    # --vocab-out may equal --vocab-in (grow in place), where writing a
+    # parquet path the plan is still lazily reading self-clobbers
+    vocab_rows = vocab.collect()
+    vocab = spark.createDataFrame(vocab_rows, vocab.schema)
     if args.vocab_out:
-        # materialize driver-side first (vocabulary-scale, <= a few MB):
-        # --vocab-out may equal --vocab-in (grow in place), and writing a
-        # parquet path that the plan is still lazily reading self-clobbers
-        vocab = spark.createDataFrame(vocab.collect(), vocab.schema)
         vocab.write.mode("overwrite").parquet(args.vocab_out)
-        vocab = spark.read.parquet(args.vocab_out)
     enc = encode_corpus(df, vocab, text_col=args.text_col,
                         id_col=args.id_col)
     enc.write.mode("overwrite").parquet(args.output)
@@ -410,7 +414,7 @@ def _tokenize_corpus(args) -> None:
     n_docs = out.count()
     n_tok = out.agg(F.sum("n_tok")).collect()[0][0] or 0
     print(json.dumps({"docs": n_docs, "tokens": int(n_tok),
-                      "vocab_size": vocab.count()}))
+                      "vocab_size": len(vocab_rows)}))
     spark.stop()
 
 

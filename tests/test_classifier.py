@@ -94,3 +94,32 @@ def test_null_text_scores_like_empty(spark):
     rows = {r["doc_id"]: r["score"] for r in
             classifier_scores(df, n_buckets=D).collect()}
     assert rows[0] == rows[1] == 0.5
+
+
+def test_trailing_empty_doc_with_bigrams(spark):
+    # regression: a zero-token doc LAST in a batch made the bigram
+    # segment bounds index one past the prefix-sum array (IndexError)
+    df = _docs(spark, ["word word other", "   "])
+    rows = {r["doc_id"]: r["score"] for r in
+            classifier_scores(df, n_buckets=D, bigrams=True).collect()}
+    assert len(rows) == 2
+    assert rows[1] == 0.5                      # sigmoid(bias=0) exactly
+
+    toks = spark.createDataFrame([(0, [1, 2, 3]), (1, [])],
+                                 "doc_id long, tokens array<bigint>")
+    trows = {r["doc_id"]: r["score"] for r in
+             classifier_scores_tokens(toks, n_buckets=D,
+                                      bigrams=True).collect()}
+    assert len(trows) == 2
+    assert trows[1] == 0.5
+
+
+def test_trailing_empty_matches_leading_empty(spark):
+    # order must not change any score: same docs, empty first vs last
+    a = _docs(spark, ["", "alpha beta gamma delta", "x y"])
+    b = _docs(spark, ["alpha beta gamma delta", "x y", ""])
+    sa = sorted(r["score"] for r in
+                classifier_scores(a.coalesce(1), n_buckets=D).collect())
+    sb = sorted(r["score"] for r in
+                classifier_scores(b.coalesce(1), n_buckets=D).collect())
+    assert sa == sb

@@ -282,3 +282,52 @@ def test_streaming_batch_replay_idempotent(spark, tmp_path):
     process_near_dedup_batch(batch2, 8, store, **kw)
     assert spark.read.parquet(f"{sink_root}/batch=8").count() == 0
     assert _store_counts(spark, store)[0] == 6
+
+
+def test_legacy_flat_layout_migrates_on_append(spark, tmp_path):
+    """A store written BEFORE the batch_id= layout (flat part files under
+    sigs/ and bands/) must not be shadowed by the first partitioned
+    append — Spark's partition discovery ignores root-level files once a
+    batch_id= directory exists, which would silently hide the entire
+    dedup history."""
+    from python_hll_spark.operators.dedup import (minhash_signatures,
+                                                  _band_keys_frame,
+                                                  near_store_write)
+
+    path = str(tmp_path / "near_store")
+    sigs = minhash_signatures(_near_docs(spark), num_hashes=16, n=3)
+    # simulate the pre-round-5 flat layout: parquet files at the root
+    sigs.write.mode("overwrite").parquet(f"{path}/sigs")
+    _band_keys_frame(sigs, 4).write.mode("overwrite") \
+        .parquet(f"{path}/bands")
+    flat_sigs, flat_bands = _store_counts(spark, path)
+    assert flat_sigs == 5
+
+    extra = _docs(spark, [(100, "completely different content here "
+                                "about ships and harbours and tide")])
+    near_store_write(minhash_signatures(extra, num_hashes=16, n=3),
+                     path, bands=4, mode="append", batch_id="day1",
+                     num_hashes=16, n=3)
+    got_sigs, got_bands = _store_counts(spark, path)
+    assert got_sigs == flat_sigs + 1          # legacy rows still visible
+    assert got_bands == flat_bands + 4
+    assert os.path.isdir(f"{path}/sigs/batch_id=legacy")
+
+
+def test_legacy_flat_fp_store_migrates(spark, tmp_path):
+    """Same shadowing hazard for the fingerprint store: the refresh CLI's
+    batch_id= append must not hide a flat store; compaction must keep
+    every row."""
+    from python_hll_spark.operators.dedup import (fp_store_compact,
+                                                  migrate_flat_store_layout)
+
+    path = str(tmp_path / "fp_store")
+    spark.range(0, 10).selectExpr("id AS fp").write.parquet(path)
+    migrate_flat_store_layout(path)
+    spark.range(100, 105).selectExpr("id AS fp").write.mode("overwrite") \
+        .parquet(f"{path}/batch_id=day1")
+    df = spark.read.parquet(path)
+    assert df.count() == 15
+    stats = fp_store_compact(spark, path, target_partitions=2)
+    assert spark.read.parquet(path).count() == 15
+    assert stats["files_after"] <= 2
