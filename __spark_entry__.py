@@ -296,6 +296,26 @@ def q_text_stats_documents(spark, sf_dir):
         F.length("text").alias("len_chars"))
 
 
+def q_char_entropy_documents(spark, sf_dir):
+    """Per-doc byte-entropy quality signal (``text.char_entropy_frame``):
+    the cheap garbage/binary detector every curation stack gates on.
+    SQL-EXACT oracle: the corpus is ASCII (1 byte == 1 char) and the
+    kernel computes entropy with the same ``log2(t) - sum(n*log2 n)/t``
+    association a SQL mirror uses, so per-doc values match to the 4
+    decimals both sides round to; n_chars / n_distinct_chars are exact
+    integers, and the bound ``0 <= H <= log2(distinct)`` rides along."""
+    from python_hll_spark.functions.text import char_entropy_frame
+
+    docs = _read(spark, sf_dir, "documents").where(F.length("text") > 0)
+    ent = char_entropy_frame(docs)
+    bounded = ((F.col("entropy") >= -1e-9) &
+               (F.col("entropy") <=
+                F.log2(F.col("n_distinct_chars").cast("double")) + 1e-9))
+    return ent.select("doc_id", "n_chars", "n_distinct_chars",
+                      F.round("entropy", 4).alias("entropy_r4"),
+                      bounded.alias("ent_bounded"))
+
+
 def q_lang_id_documents(spark, sf_dir):
     from python_hll_spark.functions.text import detect_language
 
@@ -936,9 +956,12 @@ def q_hll_overlap_matrix_events(spark, sf_dir):
 
     cfg = HLLConfig.create(HLL_LOG2M, HLL_REGWIDTH)
     events = _read(spark, sf_dir, "events")
-    est = hll_overlap_matrix(events, "user_id", "event_type", cfg=cfg)
+    cache = []
+    est = hll_overlap_matrix(events, "user_id", "event_type", cfg=cfg,
+                             cache_out=cache)
 
     du = events.select("event_type", "user_id").distinct().persist()
+    cache.append(du)
     a = du.select(F.col("event_type").alias("group_a"),
                   "user_id")
     b = du.select(F.col("event_type").alias("group_b"), "user_id")
@@ -959,13 +982,20 @@ def q_hll_overlap_matrix_events(spark, sf_dir):
               .withColumn("__nu", F.col("__na") + F.col("__nb")
                           - F.col("exact_overlap")))
     bound = tol * (F.col("__na") + F.col("__nb") + F.col("__nu"))
-    return joined.select(
+    out = joined.select(
         F.col("group_a").alias("type_a"), F.col("group_b").alias("type_b"),
         "exact_overlap",
         (F.abs(F.col("est_intersection") - F.col("exact_overlap")) <= bound)
         .alias("overlap_ok"),
         (F.abs(F.col("est_union") - F.col("__nu"))
          <= tol * F.col("__nu") + 1).alias("union_ok"))
+    # K(K-1)/2-row result: materialize eagerly so the caches unpersist
+    # instead of leaking for the rest of the session (perplexity pattern)
+    try:
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        for c in cache:
+            c.unpersist()
 
 
 def q_decontaminate_documents(spark, sf_dir):
@@ -1142,11 +1172,18 @@ def q_dsir_select_documents(spark, sf_dir):
 
     counts = raw.agg(F.count("*").alias("n_raw")).crossJoin(
         docs.agg(F.count("*").alias("n_target")))
-    return (counts.crossJoin(F.broadcast(dup_eq))
-            .crossJoin(F.broadcast(means))
-            .crossJoin(F.broadcast(k_ok))
-            .crossJoin(F.broadcast(subset_ok))
-            .crossJoin(F.broadcast(stable)))
+    out = (counts.crossJoin(F.broadcast(dup_eq))
+           .crossJoin(F.broadcast(means))
+           .crossJoin(F.broadcast(k_ok))
+           .crossJoin(F.broadcast(subset_ok))
+           .crossJoin(F.broadcast(stable)))
+    # 1-row result: materialize eagerly so the two persisted frames
+    # unpersist instead of leaking for the rest of the session
+    try:
+        return spark.createDataFrame(out.collect(), out.schema)
+    finally:
+        w.unpersist()
+        pick1.unpersist()
 
 
 def q_shuffle_shards_documents(spark, sf_dir):
@@ -1889,6 +1926,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "media_features": q_media_features,
         "dedup_exact_documents": q_dedup_exact_documents,
         "text_stats_documents": q_text_stats_documents,
+        # char_entropy_documents rides the tail: text-analysis family
+        # already holds prefix rows (text_stats, lang_id, repetition, pii)
         "lang_id_documents": q_lang_id_documents,
         # jaccard_pairs rides the tail: the exact-Jaccard audit it provides
         # is also embedded in the near-dedup oracles' false-positive checks
@@ -1961,6 +2000,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnowing_dup_invariant": q_winnowing_dup_invariant,
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
         "minhash_tokens_dup_invariant": q_minhash_tokens_dup_invariant,
+        "char_entropy_documents": q_char_entropy_documents,
     }
 
 
@@ -2189,6 +2229,23 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                    length(text) AS len_chars
             FROM documents
+        """,
+        "char_entropy_documents": """
+            WITH f AS (
+                SELECT doc_id, count(*)::DOUBLE AS n
+                FROM (SELECT doc_id, unnest(string_split(text, '')) AS c
+                      FROM documents WHERE length(text) > 0)
+                GROUP BY doc_id, c
+            ),
+            a AS (
+                SELECT doc_id, sum(n) AS tot, count(*)::BIGINT AS dn,
+                       sum(n * log2(n)) AS snl
+                FROM f GROUP BY doc_id
+            )
+            SELECT doc_id, tot::BIGINT AS n_chars, dn AS n_distinct_chars,
+                   round(log2(tot) - snl / tot, 4) AS entropy_r4,
+                   TRUE AS ent_bounded
+            FROM a
         """,
         "lang_id_documents": """
             SELECT doc_id,
