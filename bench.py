@@ -487,11 +487,16 @@ NEAR_DEDUP_SCALING_DOCS = int(os.environ.get(
 # probe (pre OR post) reads below this is a contended draw — retried, and
 # marked bus_contended if contention persists
 DRAM_HEALTHY_MELEMS = int(os.environ.get("SPARK_GRAFT_DRAM_HEALTHY", "200"))
-# the cache-resident probe is pure CPU: on this host it reads ~1300-1450
-# M elem/s idle, and collapsed to 73-319 during a hypervisor CPU-steal
+# the cache-resident probe is pure CPU: on this host it reads ~1300-1800
+# M elem/s idle, collapsed to 73-319 during a hypervisor CPU-steal
 # window (2026-08-18 discarded draw: every wall 2-30x inflated while the
-# DRAM probe still read a healthy 666-709 — DRAM alone cannot see steal)
-CACHE_HEALTHY_MELEMS = int(os.environ.get("SPARK_GRAFT_CACHE_HEALTHY", "500"))
+# DRAM probe still read a healthy 666-709 — DRAM alone cannot see steal),
+# and read 604-748 during the MILDER steal window that degraded every
+# 4-core leg of round-5 draw 7 by 12-30% (1/8/32-core legs unharmed —
+# low-core compute-bound legs feel steal directly).  900 separates every
+# observed clean window (>= 906 across all round-5 draws) from every
+# observed steal window.
+CACHE_HEALTHY_MELEMS = int(os.environ.get("SPARK_GRAFT_CACHE_HEALTHY", "900"))
 INCREMENTAL_STORE_DOCS = int(os.environ.get(
     "SPARK_GRAFT_INCREMENTAL_STORE_DOCS", "2000000"))
 INCREMENTAL_BATCH_DOCS = int(os.environ.get(
