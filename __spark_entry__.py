@@ -1789,6 +1789,46 @@ def q_domain_cap_documents(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_classifier_train_documents(spark, sf_dir):
+    """TRAIN the quality classifier distributed (``classifier_train``:
+    each full-batch iteration is one mergeable dense-gradient
+    aggregation, Adam on the driver) and verify it learned: positives
+    are the corpus documents, negatives their per-word-REVERSED mutants
+    (disjoint vocabulary up to rare hash collisions — the DSIR mutant
+    construction); train on doc_id%5!=0, evaluate on the held-out
+    doc_id%5==0 fifth.  Value-checked: n_train/n_eval are exact SQL;
+    the final training logloss is below the first (learning happened);
+    held-out accuracy >= 0.9 with the trained weights flowing through
+    the UNCHANGED serve-time scorer (shared kernel)."""
+    from python_hll_spark.functions.classifier import (classifier_scores,
+                                                       classifier_train)
+
+    docs = _read(spark, sf_dir, "documents").select("doc_id", "text")
+    ws = _norm_words(F.col("text"))
+    mutants = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.concat_ws(" ", F.transform(ws, F.reverse)).alias("text"))
+    labeled = (docs.withColumn("y", F.lit(1.0))
+               .unionByName(mutants.withColumn("y", F.lit(0.0))))
+    train = labeled.where(F.col("doc_id") % 5 != 0)
+    heldout = labeled.where(F.col("doc_id") % 5 == 0)
+
+    model = classifier_train(train, "y", n_buckets=1 << 16, iters=12)
+    scored = classifier_scores(heldout, n_buckets=1 << 16,
+                               weights=model["weights"],
+                               bias=model["bias"])
+    acc = (scored.join(heldout.select("doc_id", "y"), "doc_id")
+           .agg(F.avg(((F.col("score") >= 0.5) == (F.col("y") == 1.0))
+                      .cast("double")).alias("acc"))
+           .collect()[0]["acc"])
+    n_train, n_eval = train.count(), heldout.count()
+    return spark.createDataFrame(
+        [(n_train, n_eval, bool(model["history"][-1] < model["history"][0]),
+          bool(acc >= 0.9))],
+        "n_train bigint, n_eval bigint, loss_decreased boolean, "
+        "eval_acc_ok boolean")
+
+
 def q_classifier_scores_documents(spark, sf_dir):
     """Hashed uni+bigram linear quality classifier (fastText shape) over
     every document plus an injected exact copy of each doc_id%5==0 doc.
@@ -2001,6 +2041,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_dedup_dup_invariant": q_near_dedup_dup_invariant,
         "minhash_tokens_dup_invariant": q_minhash_tokens_dup_invariant,
         "char_entropy_documents": q_char_entropy_documents,
+        # rides the tail like char_entropy: the classifier family keeps
+        # its prefix row (classifier_scores_documents)
+        "classifier_train_documents": q_classifier_train_documents,
     }
 
 
@@ -2228,6 +2271,13 @@ def oracle_sql() -> dict[str, str]:
                    length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS n_bpe_tokens,
                    length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
                    length(text) AS len_chars
+            FROM documents
+        """,
+        "classifier_train_documents": """
+            SELECT (2 * sum(CASE WHEN doc_id % 5 <> 0 THEN 1 ELSE 0 END))::BIGINT AS n_train,
+                   (2 * sum(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END))::BIGINT AS n_eval,
+                   TRUE AS loss_decreased,
+                   TRUE AS eval_acc_ok
             FROM documents
         """,
         "char_entropy_documents": """

@@ -159,3 +159,153 @@ def classifier_scores(df: DataFrame, text_col: str = "text",
     toks = tokenize_word_hashes(df, text_col=text_col, id_col=id_col)
     return classifier_scores_tokens(toks, tokens_col="tokens",
                                     id_col=id_col, **kw)
+
+
+# --------------------------------------------------------------- training
+def _grad_segments(flat: np.ndarray, offs: np.ndarray, y: np.ndarray,
+                   w: np.ndarray, nb: np.uint64, bias: float,
+                   bigrams: bool):
+    """One Arrow batch's contribution to the FULL-BATCH logistic-loss
+    gradient: (grad_w float64[nb], grad_b, n_docs, sum_logloss).
+
+    Forward pass is the scoring kernel itself (``_score_segments``), so
+    train-time and serve-time features are identical by construction.
+    Backward is one ``np.add.at`` scatter per feature tier with per-doc
+    coefficient (sigmoid(z_i) - y_i) / n_features_i — the mean-pooling
+    jacobian."""
+    score = _score_segments(flat, offs, w, nb, bias, bigrams)
+    n_docs = len(offs) - 1
+    lens = offs[1:] - offs[:-1]
+    tot_n = lens.astype(np.float64)
+    if bigrams and len(flat) > 1:     # same divisor the forward pass used
+        tot_n = tot_n + np.maximum(lens - 1, 0)
+    err = score - y
+    coef = np.divide(err, tot_n, out=np.zeros(n_docs), where=tot_n > 0)
+    doc_tok = np.repeat(np.arange(n_docs, dtype=np.int64), lens)
+    gw = np.zeros(int(nb), dtype=np.float64)
+    np.add.at(gw, (flat % nb).astype(np.int64), coef[doc_tok])
+    if bigrams and len(flat) > 1:
+        big = (((flat[:-1] * _PHI64) ^ flat[1:]) % nb).astype(np.int64)
+        last = offs[1:] - 1
+        valid = np.ones(len(flat) - 1, dtype=bool)
+        valid[last[(last >= 0) & (last < len(flat) - 1)]] = False
+        # a valid pair (j, j+1) lies inside one doc -> doc of token j
+        np.add.at(gw, big[valid], coef[doc_tok[:-1]][valid])
+    eps = 1e-12
+    loss = -(y * np.log(score + eps)
+             + (1.0 - y) * np.log(1.0 - score + eps)).sum()
+    return gw, float(err.sum()), n_docs, float(loss)
+
+
+def classifier_train_tokens(df: DataFrame, label_col: str,
+                            tokens_col: str = "tokens",
+                            n_buckets: int = 1 << 18, iters: int = 20,
+                            lr: float = 0.5, l2: float = 1e-6,
+                            bigrams: bool = True) -> dict:
+    """Train the hashed uni+bigram logistic model DISTRIBUTED — the
+    "train a quality classifier on labeled docs" step of CCNet/GPT-3
+    style pipelines, expressed in this library's one idiom: every
+    iteration is ONE mergeable aggregation.  Each partition emits a
+    dense float64 gradient partial (``n_buckets`` slots, 2 MB at 2^18 —
+    the same shape discipline as a sketch partial), partials sum on the
+    driver, and an Adam step updates the weights; the next iteration's
+    task closure carries the new 1 MB float32 vector.
+
+    Full-batch gradient (not SGD): deterministic given the input and
+    ``iters``/``lr`` — re-running training reproduces the model
+    bit-for-bit up to partial-sum association, which the tests bound.
+    The input frame is persisted for the duration (``iters`` scans).
+
+    Returns ``{"weights": float32[n_buckets], "bias": float,
+    "history": [mean logloss per iteration]}``; feed ``weights``/
+    ``bias`` straight into ``classifier_scores*`` /
+    ``with_classifier_score`` / ``prepare_corpus(min_model_score=...)``
+    — train-time features are byte-identical to serve-time (shared
+    kernel)."""
+    import pyarrow as pa
+
+    nb = np.uint64(n_buckets)
+    pruned = df.select(tokens_col, label_col).persist()
+    try:
+        w = np.zeros(n_buckets, dtype=np.float32)
+        b = 0.0
+        # Adam state (driver-side; the model is vocabulary-sized)
+        mw = np.zeros(n_buckets); vw = np.zeros(n_buckets)
+        mb = vb = 0.0
+        b1, b2, eps = 0.9, 0.999, 1e-8
+        history = []
+        for t in range(1, iters + 1):
+            w_cur, b_cur = w, b
+
+            def part(batches):
+                gw = np.zeros(n_buckets, dtype=np.float64)
+                gb = 0.0
+                n = 0
+                loss = 0.0
+                for batch in batches:
+                    toks = batch.column(0)
+                    if isinstance(toks, pa.ChunkedArray):
+                        toks = toks.combine_chunks()
+                    offs = toks.offsets.to_numpy(zero_copy_only=False) \
+                        .astype(np.int64, copy=False)
+                    offs = offs - offs[0]
+                    flat = toks.flatten().to_numpy(zero_copy_only=False) \
+                        .astype(np.uint64, copy=False)
+                    y = batch.column(1).to_numpy(zero_copy_only=False) \
+                        .astype(np.float64, copy=False)
+                    pgw, pgb, pn, pl = _grad_segments(
+                        flat, offs, y, w_cur, nb, b_cur, bigrams)
+                    gw += pgw
+                    gb += pgb
+                    n += pn
+                    loss += pl
+                if n == 0:
+                    return
+                yield pa.RecordBatch.from_arrays(
+                    [pa.array([gw.tobytes()], pa.binary()),
+                     pa.array([gb], pa.float64()),
+                     pa.array([n], pa.int64()),
+                     pa.array([loss], pa.float64())],
+                    names=["gw", "gb", "n", "loss"])
+
+            parts = pruned.mapInArrow(
+                part, schema="gw binary, gb double, n bigint, loss double"
+            ).collect()
+            if not parts:
+                raise ValueError("classifier_train: empty input frame")
+            gw = np.zeros(n_buckets, dtype=np.float64)
+            gb = 0.0
+            n = 0
+            loss = 0.0
+            for r in parts:
+                gw += np.frombuffer(r["gw"], dtype=np.float64)
+                gb += r["gb"]
+                n += r["n"]
+                loss += r["loss"]
+            gw = gw / n + l2 * w.astype(np.float64)
+            gb = gb / n
+            history.append(loss / n)
+            # Adam
+            mw = b1 * mw + (1 - b1) * gw
+            vw = b2 * vw + (1 - b2) * gw * gw
+            mb = b1 * mb + (1 - b1) * gb
+            vb = b2 * vb + (1 - b2) * gb * gb
+            c1, c2 = 1 - b1 ** t, 1 - b2 ** t
+            w = (w - lr * (mw / c1) / (np.sqrt(vw / c2) + eps)) \
+                .astype(np.float32)
+            b = float(b - lr * (mb / c1) / (np.sqrt(vb / c2) + eps))
+        return {"weights": w, "bias": b, "history": history}
+    finally:
+        pruned.unpersist()
+
+
+def classifier_train(df: DataFrame, label_col: str, text_col: str = "text",
+                     id_col: str = "doc_id", **kw) -> dict:
+    """Train from raw text: one shared Arrow tokenizer pass
+    (``dedup.tokenize_word_hashes`` — the exact serve-time tokenizer)
+    then the token-hash trainer."""
+    from python_hll_spark.operators.dedup import tokenize_word_hashes
+
+    toks = tokenize_word_hashes(df, text_col=text_col, id_col=id_col)
+    labeled = toks.join(df.select(id_col, label_col), id_col)
+    return classifier_train_tokens(labeled, label_col, **kw)

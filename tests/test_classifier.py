@@ -123,3 +123,60 @@ def test_trailing_empty_matches_leading_empty(spark):
     sb = sorted(r["score"] for r in
                 classifier_scores(b.coalesce(1), n_buckets=D).collect())
     assert sa == sb
+
+
+def _labeled_corpus(spark, n=300):
+    # class 1 speaks vocab A, class 0 speaks vocab B (disjoint)
+    a = ["alpha beta gamma delta epsilon zeta", "beta delta zeta alpha",
+         "gamma epsilon alpha beta zeta delta gamma"]
+    b = ["one two three four five six", "two four six one",
+         "three five one two six four three"]
+    rows = []
+    for i in range(n):
+        rows.append((i * 2, a[i % 3], 1.0))
+        rows.append((i * 2 + 1, b[i % 3], 0.0))
+    return spark.createDataFrame(rows, "doc_id long, text string, y double")
+
+
+def test_train_separates_synthetic_classes(spark):
+    from python_hll_spark.functions.classifier import classifier_train
+
+    df = _labeled_corpus(spark)
+    train = df.where("doc_id % 5 != 0")
+    heldout = df.where("doc_id % 5 = 0")
+    model = classifier_train(train, "y", n_buckets=1 << 14, iters=12)
+    assert model["history"][-1] < model["history"][0]      # loss fell
+    scored = classifier_scores(heldout, n_buckets=1 << 14,
+                               weights=model["weights"],
+                               bias=model["bias"])
+    joined = scored.join(heldout.select("doc_id", "y"), "doc_id").collect()
+    acc = np.mean([(r["score"] >= 0.5) == (r["y"] == 1.0) for r in joined])
+    assert acc >= 0.95
+
+
+def test_train_tokens_path_matches_text_path(spark):
+    from python_hll_spark.functions.classifier import (
+        classifier_train, classifier_train_tokens)
+    from python_hll_spark.operators.dedup import tokenize_word_hashes
+
+    df = _labeled_corpus(spark, n=60)
+    m1 = classifier_train(df, "y", n_buckets=1 << 12, iters=5)
+    toks = tokenize_word_hashes(df).join(df.select("doc_id", "y"), "doc_id")
+    m2 = classifier_train_tokens(toks, "y", n_buckets=1 << 12, iters=5)
+    # full-batch gradient: identical up to partial-sum association
+    assert abs(m1["bias"] - m2["bias"]) < 1e-6
+    assert float(np.abs(m1["weights"] - m2["weights"]).max()) < 1e-5
+
+
+def test_train_tolerates_empty_docs(spark):
+    from python_hll_spark.functions.classifier import classifier_train
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma", 1.0), (1, "", 0.0), (2, "   ", 0.0),
+         (3, "one two three", 0.0), (4, None, 1.0),
+         (5, "alpha gamma beta beta", 1.0)],
+        "doc_id long, text string, y double")
+    model = classifier_train(df, "y", n_buckets=1 << 10, iters=3)
+    assert np.isfinite(model["weights"]).all()
+    assert np.isfinite(model["bias"])
+    assert len(model["history"]) == 3
