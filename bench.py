@@ -401,8 +401,25 @@ def _aux_worker(n_cores: int) -> dict:
         for c in lm_caches:
             c.unpersist()
 
+    # classifier TRAINING throughput: 2 full-batch Adam iterations over
+    # the same subset (labels = doc-hash parity; throughput doesn't need
+    # semantic signal).  Each iteration = one scan (shared forward kernel
+    # + np.add.at gradient scatter) + driver partial-sum + Adam, i.e.
+    # what one epoch of quality-model training costs per corpus scan.
+    from python_hll_spark.functions.classifier import classifier_train_tokens
+    train_iters = 2
+    labeled = seqs.withColumn(
+        "y", (F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0).cast("double"))
+    t0 = time.time()
+    classifier_train_tokens(labeled, "y", iters=train_iters)
+    train_wall = time.time() - t0
+
     spark.stop()
     return {"murmur3_strings_per_sec": int(n_ids / min(mm_walls)),
+            "train_tokens_per_iter_sec":
+                int(train_iters * n_cls_tokens / train_wall),
+            "train_wall_sec": round(train_wall, 2),
+            "train_iters": train_iters,
             "murmur3_wall_sec": round(min(mm_walls), 2), "n_strings": n_ids,
             "srp_vectors_per_sec": int(n_vec / min(srp_walls)),
             "srp_wall_sec": round(min(srp_walls), 2),
@@ -611,7 +628,8 @@ def main() -> None:
           f"classifier {aux['classifier_tokens_per_sec']:,} tok/s; "
           f"chunking {aux['chunk_tokens_per_sec']:,} tok/s; "
           f"dsir {aux['dsir_tokens_per_sec']:,} tok/s; "
-          f"bigram-lm {aux['lm_tokens_per_sec']:,} tok/s",
+          f"bigram-lm {aux['lm_tokens_per_sec']:,} tok/s; "
+          f"trainer {aux['train_tokens_per_iter_sec']:,} tok/s/iter",
           file=sys.stderr)
 
     incr = _sub(["--incremental-worker", str(CPUS),
@@ -696,6 +714,7 @@ def main() -> None:
         "cls_tok_per_sec": aux["classifier_tokens_per_sec"],
         "dsir_tok_per_sec": aux["dsir_tokens_per_sec"],
         "lm_tok_per_sec": aux["lm_tokens_per_sec"],
+        "train_tok_per_iter_sec": aux["train_tokens_per_iter_sec"],
         "bus_ok": result["bus_health"]["all_scaling_legs_healthy"],
         "full_record": "BENCH/bench_latest_full.json",
     }
