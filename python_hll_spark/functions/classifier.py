@@ -309,3 +309,28 @@ def classifier_train(df: DataFrame, label_col: str, text_col: str = "text",
     toks = tokenize_word_hashes(df, text_col=text_col, id_col=id_col)
     labeled = toks.join(df.select(id_col, label_col), id_col)
     return classifier_train_tokens(labeled, label_col, **kw)
+
+
+def save_model(spark, model: dict, path: str, n_buckets: int,
+               bigrams: bool = True) -> None:
+    """Persist a trained model as a one-row parquet (weights
+    array<float>, bias, n_buckets, bigrams) — the spark-submit handoff
+    between ``train-classifier`` and ``prepare-corpus
+    --model-weights``."""
+    row = [(model["weights"].astype(float).tolist(), float(model["bias"]),
+            int(n_buckets), bool(bigrams),
+            [float(x) for x in model.get("history", [])])]
+    spark.createDataFrame(
+        row, "weights array<float>, bias double, n_buckets int, "
+             "bigrams boolean, history array<double>") \
+        .coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_model(spark, path: str) -> dict:
+    """Inverse of ``save_model``: {"weights", "bias", "n_buckets",
+    "bigrams", "history"} with weights as float32 ndarray."""
+    r = spark.read.parquet(path).collect()[0]
+    return {"weights": np.asarray(r["weights"], dtype=np.float32),
+            "bias": float(r["bias"]), "n_buckets": int(r["n_buckets"]),
+            "bigrams": bool(r["bigrams"]),
+            "history": list(r["history"] or [])}

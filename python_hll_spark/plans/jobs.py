@@ -152,6 +152,12 @@ def _prepare_corpus(args) -> None:
     if args.mixture_weights:
         weights = {k: float(v) for k, v in
                    (kv.split("=") for kv in args.mixture_weights.split(","))}
+    model_weights, model_bias, model_buckets = None, 0.0, 1 << 18
+    if args.model_weights:
+        from python_hll_spark.functions.classifier import load_model
+        m = load_model(spark, args.model_weights)
+        model_weights, model_bias = m["weights"], m["bias"]
+        model_buckets = m["n_buckets"]
     cfg = CorpusFilterConfig(
         min_quality=args.min_quality,
         near_dup_threshold=args.near_dup_threshold,
@@ -163,7 +169,10 @@ def _prepare_corpus(args) -> None:
         strip_spans_n=args.strip_spans_n,
         gopher_rules=args.gopher_rules,
         decontaminate_ngram_n=args.decontaminate_ngram_n or None,
-        ppl_drop_tail=args.ppl_drop_tail)
+        ppl_drop_tail=args.ppl_drop_tail,
+        min_model_score=args.min_model_score,
+        model_weights=model_weights, model_bias=model_bias,
+        model_buckets=model_buckets)
     eval_df = spark.read.parquet(args.eval_input) if args.eval_input else None
     clean, metrics = prepare_corpus(df, cfg, eval_df=eval_df)
     clean.write.mode("overwrite").parquet(args.output)
@@ -171,6 +180,35 @@ def _prepare_corpus(args) -> None:
     # through its own logging and can drop it); rows_out stays the LAST line
     print(json.dumps({"metrics": metrics}, default=str))
     print(json.dumps({"rows_out": metrics["rows_out"]}))
+    spark.stop()
+
+
+def _train_classifier(args) -> None:
+    """Train the hashed n-gram quality classifier as a spark-submit job
+    (distributed full-batch logistic regression; each iteration one
+    mergeable gradient aggregation) and persist the model to a one-row
+    parquet that ``prepare-corpus --model-weights`` loads."""
+    from python_hll_spark.functions.classifier import (classifier_train,
+                                                       classifier_train_tokens,
+                                                       save_model)
+
+    spark = get_spark("train-classifier")
+    df = spark.read.parquet(args.input)
+    kw = dict(n_buckets=args.n_buckets, iters=args.iters, lr=args.lr,
+              bigrams=not args.no_bigrams)
+    if args.content == "tokens":
+        model = classifier_train_tokens(df, args.label_col,
+                                        tokens_col=args.tokens_col, **kw)
+    else:
+        model = classifier_train(df, args.label_col,
+                                 text_col=args.text_col,
+                                 id_col=args.id_col, **kw)
+    save_model(spark, model, args.output, args.n_buckets,
+               bigrams=not args.no_bigrams)
+    print(json.dumps({"first_loss": model["history"][0],
+                      "final_loss": model["history"][-1],
+                      "iters": args.iters}))
+    print(json.dumps({"rows_out": 1}))
     spark.stop()
 
 
@@ -515,7 +553,31 @@ def main(argv=None) -> None:
                          "(needs --eval-input; 0=off)")
     cp.add_argument("--mixture-weights", default="",
                     help="comma list of group=weight, e.g. web=1,code=2")
+    cp.add_argument("--min-model-score", type=float, default=None,
+                    help="model-score filter threshold (enables the "
+                         "classifier stage; seed-synthetic weights unless "
+                         "--model-weights)")
+    cp.add_argument("--model-weights", default="",
+                    help="trained model parquet from train-classifier")
     cp.set_defaults(fn=_prepare_corpus)
+
+    tc = sub.add_parser("train-classifier",
+                        help="train the hashed n-gram quality classifier "
+                             "(distributed full-batch logistic regression)")
+    tc.add_argument("--input", required=True,
+                    help="labeled parquet (text or tokens + label column)")
+    tc.add_argument("--output", required=True,
+                    help="model parquet (weights/bias/n_buckets)")
+    tc.add_argument("--label-col", default="y")
+    tc.add_argument("--content", choices=("text", "tokens"), default="text")
+    tc.add_argument("--text-col", default="text")
+    tc.add_argument("--tokens-col", default="tokens")
+    tc.add_argument("--id-col", default="doc_id")
+    tc.add_argument("--n-buckets", type=int, default=1 << 18)
+    tc.add_argument("--iters", type=int, default=20)
+    tc.add_argument("--lr", type=float, default=0.5)
+    tc.add_argument("--no-bigrams", action="store_true")
+    tc.set_defaults(fn=_train_classifier)
 
     rf = sub.add_parser("refresh-corpus",
                         help="daily refresh: dedup a new batch against "

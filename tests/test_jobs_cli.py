@@ -474,3 +474,60 @@ def test_spark_submit_select_budget(tmp_path, spark):
                               by="source", seed=7)
     assert (sorted(r["doc_id"] for r in back.collect())
             == sorted(r["doc_id"] for r in lib.collect()))
+
+
+@pytest.mark.slow
+def test_spark_submit_train_then_prepare_with_model(tmp_path, spark):
+    """train-classifier -> prepare-corpus --model-weights: the trained
+    model must flow through the CLI handoff (weights AND bias) and
+    actually gate the corpus — originals (the positive class) survive
+    the model filter, reversed-word mutants (negative class) drop."""
+    import shutil
+    if shutil.which(SPARK_SUBMIT) is None:
+        pytest.skip("spark-submit not on PATH")
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").select("doc_id", "text")
+    labeled = str(tmp_path / "labeled")
+    docs.selectExpr("doc_id", "text", "1.0 AS y").unionByName(
+        docs.selectExpr(
+            "doc_id + 500000 AS doc_id",
+            "array_join(transform(split(lower(trim(text)), '\\\\s+'), "
+            "w -> reverse(w)), ' ') AS text", "0.0 AS y")) \
+        .write.parquet(labeled)
+
+    zip_path = _make_pyfiles_zip(tmp_path)
+    model_out = str(tmp_path / "model")
+    job = os.path.join(REPO, "python_hll_spark", "plans", "jobs.py")
+    env = dict(os.environ)
+    env.pop("PYSPARK_GATEWAY_PORT", None)
+    env.pop("PYSPARK_GATEWAY_SECRET", None)
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "train-classifier", "--input", labeled, "--output", model_out,
+         "--label-col", "y", "--n-buckets", "16384", "--iters", "10"],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    metrics = json.loads(res.stdout.strip().splitlines()[-2])
+    assert metrics["final_loss"] < metrics["first_loss"]
+
+    # mixed corpus in, model filter on: positives kept, mutants dropped
+    mixed = str(tmp_path / "mixed")
+    spark.read.parquet(labeled).selectExpr(
+        "doc_id", "text", "'web' AS source").write.parquet(mixed)
+    out = str(tmp_path / "clean")
+    res = subprocess.run(
+        [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
+         "prepare-corpus", "--input", mixed, "--output", out,
+         "--min-quality", "0.0", "--skip-near-dedup",
+         "--min-model-score", "0.5", "--model-weights", model_out],
+        capture_output=True, text=True, timeout=300, env=env,
+        cwd=str(tmp_path))
+    assert res.returncode == 0, res.stderr[-2000:]
+    kept = {r["doc_id"] for r in
+            spark.read.parquet(out).select("doc_id").collect()}
+    originals = {r["doc_id"] for r in docs.select("doc_id").collect()}
+    mutants = {i + 500000 for i in originals}
+    assert len(kept & originals) / len(originals) >= 0.9
+    assert len(kept & mutants) / len(mutants) <= 0.1
