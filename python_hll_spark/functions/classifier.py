@@ -224,6 +224,8 @@ def classifier_train_tokens(df: DataFrame, label_col: str,
     kernel)."""
     import pyarrow as pa
 
+    if iters < 1:
+        raise ValueError(f"classifier_train: iters must be >= 1, got {iters}")
     nb = np.uint64(n_buckets)
     pruned = df.select(tokens_col, label_col).persist()
     try:

@@ -412,6 +412,32 @@ def boilerplate_ngram_stats(df, n: int = 5, min_docs: int = 2,
                         .otherwise(F.lit(0.0))))
 
 
+def _utf8_buffer(col):
+    """(data uint8[], offs int64[]) zero-copy view of a pyarrow string
+    column's concatenated utf-8 buffer and ABSOLUTE offsets into it —
+    the one shared copy of the slice/null/large-string/array-offset
+    handling every byte-level Arrow kernel here needs (see
+    ``murmur3.word_hash_segments`` for why pyarrow's own splitters are
+    avoided near buffer tails).  Nulls read as empty strings."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    txt = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if txt.null_count:
+        txt = pc.fill_null(txt, "")
+    if pa.types.is_large_string(txt.type):
+        txt = txt.cast(pa.string())
+    n_docs = len(txt)
+    buf_off = np.frombuffer(txt.buffers()[1], dtype=np.int32,
+                            count=n_docs + 1 + txt.offset)
+    offs = buf_off[txt.offset:].astype(np.int64)
+    dbuf = txt.buffers()[2]
+    data = (np.frombuffer(dbuf, dtype=np.uint8)
+            if dbuf is not None else np.empty(0, dtype=np.uint8))
+    return data, offs
+
+
 def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
                            id_col: str = "doc_id", k: int = 8,
                            window: int = 16) -> DataFrame:
@@ -451,24 +477,12 @@ def winnowing_fingerprints(df: DataFrame, text_col: str = "text",
     pruned = df.select(FF.col(id_col), norm.alias("__t"))
 
     def compute(batches):
-        import pyarrow.compute as pc
         for batch in batches:
             txt = batch.column("__t")
-            if isinstance(txt, pa.ChunkedArray):
-                txt = txt.combine_chunks()
             n_docs = len(txt)
             if n_docs == 0:
                 continue
-            if txt.null_count:
-                txt = pc.fill_null(txt, "")
-            if pa.types.is_large_string(txt.type):
-                txt = txt.cast(pa.string())
-            buf_off = np.frombuffer(txt.buffers()[1], dtype=np.int32,
-                                    count=n_docs + 1 + txt.offset)
-            offs = buf_off[txt.offset:].astype(np.int64)
-            dbuf = txt.buffers()[2]
-            data = (np.frombuffer(dbuf, dtype=np.uint8)
-                    if dbuf is not None else np.empty(0, dtype=np.uint8))
+            data, offs = _utf8_buffer(txt)
 
             counts = np.zeros(n_docs, dtype=np.int64)
             values_parts: list = []
@@ -787,25 +801,13 @@ def char_entropy_frame(df: DataFrame, text_col: str = "text",
     pruned = df.select(F.col(id_col), F.col(text_col).alias("__t"))
 
     def compute(batches):
-        import pyarrow.compute as pc
         for batch in batches:
             ids = batch.column(id_col)
             txt = batch.column("__t")
-            if isinstance(txt, pa.ChunkedArray):
-                txt = txt.combine_chunks()
             n_docs = len(txt)
             if n_docs == 0:
                 continue
-            if txt.null_count:
-                txt = pc.fill_null(txt, "")
-            if pa.types.is_large_string(txt.type):
-                txt = txt.cast(pa.string())
-            buf_off = np.frombuffer(txt.buffers()[1], dtype=np.int32,
-                                    count=n_docs + 1 + txt.offset)
-            offs = buf_off[txt.offset:].astype(np.int64)
-            dbuf = txt.buffers()[2]
-            data = (np.frombuffer(dbuf, dtype=np.uint8)
-                    if dbuf is not None else np.empty(0, dtype=np.uint8))
+            data, offs = _utf8_buffer(txt)
             lengths = offs[1:] - offs[:-1]
             row_ids = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
             chunk = data[offs[0]:offs[-1]].astype(np.int64)

@@ -153,11 +153,16 @@ def _prepare_corpus(args) -> None:
         weights = {k: float(v) for k, v in
                    (kv.split("=") for kv in args.mixture_weights.split(","))}
     model_weights, model_bias, model_buckets = None, 0.0, 1 << 18
+    model_bigrams = True
+    if args.model_weights and args.min_model_score is None:
+        raise SystemExit("--model-weights without --min-model-score would "
+                         "load the model and never apply it; pass a "
+                         "threshold (e.g. --min-model-score 0.5)")
     if args.model_weights:
         from python_hll_spark.functions.classifier import load_model
         m = load_model(spark, args.model_weights)
         model_weights, model_bias = m["weights"], m["bias"]
-        model_buckets = m["n_buckets"]
+        model_buckets, model_bigrams = m["n_buckets"], m["bigrams"]
     cfg = CorpusFilterConfig(
         min_quality=args.min_quality,
         near_dup_threshold=args.near_dup_threshold,
@@ -172,7 +177,7 @@ def _prepare_corpus(args) -> None:
         ppl_drop_tail=args.ppl_drop_tail,
         min_model_score=args.min_model_score,
         model_weights=model_weights, model_bias=model_bias,
-        model_buckets=model_buckets)
+        model_buckets=model_buckets, model_bigrams=model_bigrams)
     eval_df = spark.read.parquet(args.eval_input) if args.eval_input else None
     clean, metrics = prepare_corpus(df, cfg, eval_df=eval_df)
     clean.write.mode("overwrite").parquet(args.output)

@@ -53,6 +53,7 @@ class CorpusFilterConfig:
     min_model_score: float | None = None
     model_weights: object = None      # np.ndarray of a trained model
     model_bias: float = 0.0           # trained intercept (classifier_train)
+    model_bigrams: bool = True        # must match the model's training
     model_buckets: int = 1 << 18
     model_seed: int = 7
     # duplicated-line removal (CCNet/RefinedWeb): rewrites text_col BEFORE
@@ -161,7 +162,7 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
         model_scored = with_classifier_score(
             filtered, text_col=text_col, n_buckets=cfg.model_buckets,
             seed=cfg.model_seed, weights=cfg.model_weights,
-            bias=cfg.model_bias)
+            bias=cfg.model_bias, bigrams=cfg.model_bigrams)
         model_pred = F.col("score") >= cfg.min_model_score
         model_obs = Observation("model_filter")
         filtered = (model_scored
