@@ -15,6 +15,16 @@ model — the kernel does not change.
 Scale shape: linear single scan, zero shuffle, zero per-row Python;
 composes with ``operators.sampling.group_topk`` / ``web.domain_cap`` as
 the quality key for score-ranked retention.
+
+Training lives here too (``classifier_train[_tokens]``): distributed
+full-batch logistic regression where each iteration is ONE mergeable
+aggregation — per-partition dense gradient partials (the library's
+sketch-partial shape) summed on the driver, Adam step, and the updated
+1 MiB float32 model rides the next iteration's task closure.  The
+gradient kernel shares the serve-time forward pass, so train and serve
+features are byte-identical; ``save_model``/``load_model`` are the
+spark-submit handoff (train-classifier CLI -> prepare-corpus
+--model-weights).
 """
 
 from __future__ import annotations

@@ -804,24 +804,10 @@ def char_entropy_frame(df: DataFrame, text_col: str = "text",
         for batch in batches:
             ids = batch.column(id_col)
             txt = batch.column("__t")
-            n_docs = len(txt)
-            if n_docs == 0:
+            if len(txt) == 0:
                 continue
-            data, offs = _utf8_buffer(txt)
-            lengths = offs[1:] - offs[:-1]
-            row_ids = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
-            chunk = data[offs[0]:offs[-1]].astype(np.int64)
-            counts = np.bincount(row_ids * 256 + chunk,
-                                 minlength=n_docs * 256).reshape(n_docs, 256)
-            distinct = (counts > 0).sum(axis=1).astype(np.int64)
-            nlogn = np.zeros_like(counts, dtype=np.float64)
-            nz = counts > 0
-            cf = counts[nz].astype(np.float64)
-            nlogn[nz] = cf * np.log2(cf)
-            tot = lengths.astype(np.float64)
-            with np.errstate(divide="ignore", invalid="ignore"):
-                ent = np.log2(tot) - nlogn.sum(axis=1) / tot
-            ent[lengths == 0] = 0.0
+            lengths, distinct, ent = _entropy_math(*_utf8_buffer(txt),
+                                                   n_docs=len(txt))
             yield pa.RecordBatch.from_arrays(
                 [ids, pa.array(lengths), pa.array(distinct),
                  pa.array(ent, pa.float64())],
@@ -831,3 +817,55 @@ def char_entropy_frame(df: DataFrame, text_col: str = "text",
         compute,
         schema=(f"`{id_col}` {id_type}, n_chars bigint, "
                 "n_distinct_chars bigint, entropy double"))
+
+
+def _entropy_math(data, offs, n_docs):
+    """(lengths, n_distinct, entropy) per row from a concatenated utf-8
+    buffer view: per-row byte histograms via one ``np.bincount`` over
+    ``row*256 + byte`` keys; entropy in the ``log2(t) - sum(n log2 n)/t``
+    association (SQL-mirrorable on ASCII corpora)."""
+    import numpy as np
+
+    lengths = offs[1:] - offs[:-1]
+    row_ids = np.repeat(np.arange(n_docs, dtype=np.int64), lengths)
+    chunk = data[offs[0]:offs[-1]].astype(np.int64)
+    counts = np.bincount(row_ids * 256 + chunk,
+                         minlength=n_docs * 256).reshape(n_docs, 256)
+    distinct = (counts > 0).sum(axis=1).astype(np.int64)
+    nlogn = np.zeros_like(counts, dtype=np.float64)
+    nz = counts > 0
+    cf = counts[nz].astype(np.float64)
+    nlogn[nz] = cf * np.log2(cf)
+    tot = lengths.astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        ent = np.log2(tot) - nlogn.sum(axis=1) / tot
+    ent[lengths == 0] = 0.0
+    return lengths, distinct, ent
+
+
+def with_char_entropy(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """ALL original columns + ``entropy`` double in ONE passthrough
+    mapInArrow pass — the filter-stage shape (mirrors
+    ``classifier.with_classifier_score``): no (id, entropy) join back,
+    no shuffle; ``df.where(F.col("entropy").between(lo, hi))`` composes
+    directly.  Values identical to ``char_entropy_frame`` (same math)."""
+    import numpy as np
+    import pyarrow as pa
+
+    text_idx = df.columns.index(text_col)
+
+    def gen(batches):
+        for batch in batches:
+            txt = batch.column(text_idx)
+            n_docs = len(txt)
+            if n_docs == 0:
+                continue
+            _, _, ent = _entropy_math(*_utf8_buffer(txt), n_docs=n_docs)
+            cols = [c.combine_chunks() if isinstance(c, pa.ChunkedArray)
+                    else c for c in batch.columns]
+            yield pa.RecordBatch.from_arrays(
+                cols + [pa.array(ent, pa.float64())],
+                names=list(batch.schema.names) + ["entropy"])
+
+    fields = ", ".join(f"`{n}` {t}" for n, t in df.dtypes)
+    return df.mapInArrow(gen, schema=f"{fields}, entropy double")

@@ -177,7 +177,8 @@ def _prepare_corpus(args) -> None:
         ppl_drop_tail=args.ppl_drop_tail,
         min_model_score=args.min_model_score,
         model_weights=model_weights, model_bias=model_bias,
-        model_buckets=model_buckets, model_bigrams=model_bigrams)
+        model_buckets=model_buckets, model_bigrams=model_bigrams,
+        min_entropy=args.min_entropy, max_entropy=args.max_entropy)
     eval_df = spark.read.parquet(args.eval_input) if args.eval_input else None
     clean, metrics = prepare_corpus(df, cfg, eval_df=eval_df)
     clean.write.mode("overwrite").parquet(args.output)
@@ -564,6 +565,12 @@ def main(argv=None) -> None:
                          "--model-weights)")
     cp.add_argument("--model-weights", default="",
                     help="trained model parquet from train-classifier")
+    cp.add_argument("--min-entropy", type=float, default=None,
+                    help="drop docs below this byte entropy (bits; "
+                         "repeated filler reads near 0)")
+    cp.add_argument("--max-entropy", type=float, default=None,
+                    help="drop docs above this byte entropy (binary "
+                         "junk reads near 8)")
     cp.set_defaults(fn=_prepare_corpus)
 
     tc = sub.add_parser("train-classifier",

@@ -56,6 +56,12 @@ class CorpusFilterConfig:
     model_bigrams: bool = True        # must match the model's training
     model_buckets: int = 1 << 18
     model_seed: int = 7
+    # byte-entropy gate (CCNet-style garbage/binary detector): keep docs
+    # with min_entropy <= H(bytes) <= max_entropy.  English web text sits
+    # ~3.6-4.6 bits; repeated filler reads near 0, binary junk near 8.
+    # None on either side leaves that side open
+    min_entropy: float | None = None
+    max_entropy: float | None = None
     # duplicated-line removal (CCNet/RefinedWeb): rewrites text_col BEFORE
     # the stats scan so quality is scored on the de-chromed text.  Runs on
     # the train side only — eval decontamination's near tier absorbs the
@@ -171,6 +177,22 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
                              .alias("rows_after_model"))
                     .where(model_pred))
 
+    entropy_obs = None
+    if cfg.min_entropy is not None or cfg.max_entropy is not None:
+        from python_hll_spark.functions.text import with_char_entropy
+        # one passthrough Arrow pass appends `entropy`; no join, no shuffle
+        lo = cfg.min_entropy if cfg.min_entropy is not None else 0.0
+        hi = cfg.max_entropy if cfg.max_entropy is not None else 8.0
+        ent_pred = F.col("entropy").between(F.lit(float(lo)),
+                                            F.lit(float(hi)))
+        entropy_obs = Observation("entropy_filter")
+        filtered = (with_char_entropy(filtered, text_col=text_col)
+                    .observe(entropy_obs,
+                             F.sum(ent_pred.cast("long"))
+                             .alias("rows_after_entropy"))
+                    .where(ent_pred)
+                    .drop("entropy"))
+
     if cfg.url_col and cfg.domain_cap_n:
         from python_hll_spark.functions.web import domain_cap
         # ranked by the heuristic quality column computed above (or the
@@ -196,6 +218,9 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
     if model_obs is not None:
         metrics["rows_after_model"] = int(
             model_obs.get["rows_after_model"] or 0)
+    if entropy_obs is not None:
+        metrics["rows_after_entropy"] = int(
+            entropy_obs.get["rows_after_entropy"] or 0)
 
     if cfg.ppl_drop_tail:
         from python_hll_spark.functions.text import (bigram_logprob,

@@ -488,3 +488,41 @@ def test_prepare_corpus_ppl_drop_tail_stage(spark, documents):
     drop_scores = [s for d, s in scores.items() if d not in kept]
     assert kept_scores and drop_scores
     assert max(drop_scores) < min(kept_scores)
+
+
+def test_prepare_corpus_entropy_gate(spark, documents):
+    """Byte-entropy gate: a repeated-filler garbage doc (entropy near 0)
+    drops, real documents (~3.6-4.6 bits) survive, and the stage metric
+    records the survivor count."""
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    garbage = spark.createDataFrame(
+        [(990001, "web", "aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa "
+                          "aa aa aa aa aa aa aa aa aa aa aa aa aa aa aa")],
+        "doc_id long, source string, text string")
+    df = documents.select("doc_id", "source", "text").unionByName(garbage)
+    cfg = CorpusFilterConfig(min_quality=0.0, min_words=1,
+                             run_near_dedup=False,
+                             min_entropy=3.0, max_entropy=5.0)
+    clean, metrics = prepare_corpus(df, cfg)
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert 990001 not in kept
+    n_docs = documents.count()
+    assert len(kept) == n_docs                      # every real doc kept
+    assert metrics["rows_after_entropy"] == n_docs
+
+
+def test_with_char_entropy_matches_frame(spark, documents):
+    """Passthrough entropy == (id, ...) frame kernel, all columns kept."""
+    from python_hll_spark.functions.text import (char_entropy_frame,
+                                                 with_char_entropy)
+
+    docs = documents.limit(50)
+    via_pass = {r["doc_id"]: r["entropy"] for r in
+                with_char_entropy(docs).collect()}
+    via_frame = {r["doc_id"]: r["entropy"] for r in
+                 char_entropy_frame(docs).collect()}
+    assert via_pass.keys() == via_frame.keys()
+    assert all(abs(via_pass[k] - via_frame[k]) < 1e-12 for k in via_frame)
+    assert with_char_entropy(docs).columns == docs.columns + ["entropy"]
