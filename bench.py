@@ -245,8 +245,14 @@ def _incremental_worker(n_cores: int, store_docs: int,
              .persist())
     n_batch_tokens = int(batch.agg(F.sum("n_tok")).collect()[0][0])
     tmp = tempfile.mkdtemp(prefix="incr_store_")
+    # store build is UNTIMED (yesterday's job) but its file layout gates
+    # the timed probe's scan parallelism: the doc_id-range filter above
+    # lands in a couple of row groups, and signatures written from that
+    # skew would give the probe a near-single-file store to scan.  A real
+    # store is written balanced by the refresh pipeline / compaction.
     near_store_write(
-        minhash_signatures_tokens(store_src, num_hashes=64), tmp, bands=16)
+        minhash_signatures_tokens(store_src.repartition(64), num_hashes=64),
+        tmp, bands=16)
     sigs, bnds = near_store_read(spark, tmp)
 
     walls, n_out = [], 0

@@ -1103,12 +1103,34 @@ def fp_store_compact(spark, path: str, target_partitions: int = 8) -> dict:
                          target_partitions=target_partitions, distinct=True)
 
 
+def _fan_out_batch(new_df: DataFrame, fan_out: bool) -> DataFrame:
+    """Rebalance a daily crawl batch before its signature kernel.
+
+    A batch is commonly DERIVED — a date/id filter over a larger table —
+    and a filtered scan keeps the parent's partition layout with most
+    partitions empty: a 40 K-doc slice of an 8 M-doc table lands in ONE
+    non-empty partition, and the mapInArrow signature stage (whose
+    parallelism is exactly the input partition count) runs on one core no
+    matter how many the cluster has.  ``fan_out_small_input`` cannot catch
+    this (the partition COUNT looks healthy; the rows are skewed into a
+    few), so the incremental entry points round-robin the batch across
+    ``defaultParallelism`` up front.  The shuffle moves one pass of the
+    batch — the SMALL side by contract — and is cheap insurance; pass
+    ``fan_out=False`` when the batch is already known well-partitioned
+    (e.g. it just landed as its own properly-sized crawl files)."""
+    if not fan_out:
+        return new_df
+    return new_df.repartition(
+        new_df.sparkSession.sparkContext.defaultParallelism)
+
+
 def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
                            store_bands: DataFrame, threshold: float = 0.8,
                            num_hashes: int = 128, bands: int = 32, n: int = 3,
                            text_col: str = "text", id_col: str = "doc_id",
                            cache_out: list | None = None,
-                           outputs: dict | None = None) -> DataFrame:
+                           outputs: dict | None = None,
+                           fan_out: bool = True) -> DataFrame:
     """Near-dedup a NEW crawl batch against yesterday's corpus — the
     missing tier next to ``incremental_dedup`` (exact fingerprints): a new
     doc that is a NEAR-copy of anything already in the store is dropped
@@ -1140,7 +1162,10 @@ def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
     ``localCheckpoint``) before unpersisting them or appending to the
     store the lineage probes.  The persist handles (signatures, banding
     caches, store-probe hits) land in ``cache_out`` when given, else live
-    until the session releases them."""
+    until the session releases them.  ``fan_out`` (default True)
+    rebalances the batch before the signature kernel — see
+    ``_fan_out_batch`` for why a derived batch needs it."""
+    new_df = _fan_out_batch(new_df, fan_out)
     sigs_all = minhash_signatures(new_df, text_col, n, num_hashes, id_col)
     return _incremental_near_dedup_impl(new_df, sigs_all, store_sigs,
                                         store_bands, threshold, bands,
@@ -1154,11 +1179,14 @@ def incremental_near_dedup_tokens(new_df: DataFrame, store_sigs: DataFrame,
                                   n: int = 3, tokens_col: str = "tokens",
                                   id_col: str = "doc_id",
                                   cache_out: list | None = None,
-                                  outputs: dict | None = None) -> DataFrame:
+                                  outputs: dict | None = None,
+                                  fan_out: bool = True) -> DataFrame:
     """``incremental_near_dedup`` over PRE-TOKENIZED docs (the input_hint
     table shape): batch signatures come from the single-pass Arrow
     n-gram kernel instead of the text tokenizer; store probe, within-batch
-    collapse, and the ``outputs["survivor_sigs"]`` contract are shared."""
+    collapse, the ``outputs["survivor_sigs"]`` contract, and the
+    ``fan_out`` batch rebalance (``_fan_out_batch``) are shared."""
+    new_df = _fan_out_batch(new_df, fan_out)
     sigs_all = minhash_signatures_tokens(new_df, tokens_col, n, num_hashes,
                                          id_col)
     return _incremental_near_dedup_impl(new_df, sigs_all, store_sigs,

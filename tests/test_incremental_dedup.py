@@ -255,6 +255,44 @@ def test_incremental_near_dedup_tokens(spark):
     sigs.unpersist()
 
 
+def test_incremental_fan_out_rebalances_skewed_batch(spark):
+    """A DERIVED batch (filter over a bigger table) arrives with every row
+    in one partition; ``fan_out`` (default) must rebalance it before the
+    signature kernel — and must not change the survivor set."""
+    import numpy as np
+
+    from python_hll_spark.operators.dedup import (
+        _band_keys_frame, _fan_out_batch, incremental_near_dedup_tokens,
+        minhash_signatures_tokens)
+
+    rng = np.random.default_rng(11)
+    stored = rng.integers(0, 50000, 200, dtype=np.int64).tolist()
+    corpus = spark.createDataFrame([(1, stored)],
+                                   "doc_id long, tokens array<bigint>")
+    sigs = minhash_signatures_tokens(corpus, num_hashes=64, n=3).persist()
+    bands = _band_keys_frame(sigs, 16)
+    rows = [(10, stored),
+            (11, rng.integers(60000, 90000, 200, dtype=np.int64).tolist()),
+            (12, rng.integers(90000, 120000, 180, dtype=np.int64).tolist())]
+    # the skewed shape: 8 partitions, all rows in one
+    skewed = (spark.createDataFrame(rows * 1,
+                                    "doc_id long, tokens array<bigint>")
+              .coalesce(1).repartition(8).where("doc_id >= 0")
+              .coalesce(1))
+    assert skewed.rdd.getNumPartitions() == 1
+    fanned = _fan_out_batch(skewed, fan_out=True)
+    assert fanned.rdd.getNumPartitions() == \
+        spark.sparkContext.defaultParallelism
+    kept_default = sorted(r["doc_id"] for r in incremental_near_dedup_tokens(
+        skewed, sigs, bands, threshold=0.8, num_hashes=64, bands=16,
+        n=3).collect())
+    kept_nofan = sorted(r["doc_id"] for r in incremental_near_dedup_tokens(
+        skewed, sigs, bands, threshold=0.8, num_hashes=64, bands=16,
+        n=3, fan_out=False).collect())
+    assert kept_default == kept_nofan == [11, 12], kept_default
+    sigs.unpersist()
+
+
 def test_refresh_corpus_two_tiers_and_store_appends(spark, tmp_path):
     """Daily refresh end to end: exact re-crawls die at the fingerprint
     tier, near-copies at the signature tier, fresh docs survive, and the
