@@ -1789,6 +1789,37 @@ def q_domain_cap_documents(spark, sf_dir):
             .orderBy("domain"))
 
 
+def q_dedup_spans_documents(spark, sf_dir):
+    """Exact substring-level dedup (the ExactSubstr tier of Lee et al.
+    2022): every 20-word window occurring >= 2 times across the corpus —
+    in another doc or repeated within the same doc — is removed from
+    every doc that carries it, with overlapping windows merged into
+    maximal spans first.  Value-checked per doc against a DuckDB mirror
+    of the full algorithm (windows -> global dup grouping ->
+    gaps-and-islands span merge): duplicated-window count, merged-span
+    count, tokens removed, span boundaries, and the conservation
+    ``n_kept = n_words - n_tokens_removed``."""
+    from python_hll_spark.operators.dedup import dedup_spans_tokens
+
+    docs = _read(spark, sf_dir, "documents")
+    words = (docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        .alias("tokens"))
+        .withColumn("n_words", F.size("tokens").cast("long")))
+    out = dedup_spans_tokens(words, k=20, min_count=2, keep_spans=True)
+    return out.select(
+        "doc_id", "n_words",
+        F.col("n_dup_windows").cast("long").alias("n_dup_windows"),
+        F.col("n_dup_spans").cast("long").alias("n_dup_spans"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+        F.coalesce(F.expr("try_element_at(dup_spans, 1).s"), F.lit(0))
+        .cast("long").alias("first_span_s"),
+        F.coalesce(F.expr("try_element_at(dup_spans, -1).e"), F.lit(0))
+        .cast("long").alias("last_span_e"),
+        F.size("tokens").cast("long").alias("n_kept"))
+
+
 def q_classifier_train_documents(spark, sf_dir):
     """TRAIN the quality classifier distributed (``classifier_train``:
     each full-batch iteration is one mergeable dense-gradient
@@ -2044,6 +2075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rides the tail like char_entropy: the classifier family keeps
         # its prefix row (classifier_scores_documents)
         "classifier_train_documents": q_classifier_train_documents,
+        "dedup_spans_documents": q_dedup_spans_documents,
     }
 
 
@@ -2825,5 +2857,55 @@ def oracle_sql() -> dict[str, str]:
         "classifier_scores_documents": """
             SELECT doc_id, TRUE AS score_in_range, TRUE AS dup_score_equal
             FROM documents WHERE doc_id % 5 = 0 ORDER BY doc_id
+        """,
+        # full mirror of dedup_spans_tokens at k=20: stride-1 windows,
+        # global duplicate grouping (on the window CONTENT — the Spark
+        # side groups on xxhash64 of it), classic gaps-and-islands merge
+        # (new island when a start clears every previous window's end)
+        "dedup_spans_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            wins AS (
+                SELECT doc_id, i AS st, list_slice(w, i, i + 19) AS g
+                FROM t, UNNEST(generate_series(1, len(w) - 19)) AS u(i)
+                WHERE len(w) >= 20),
+            dup AS (SELECT g FROM wins GROUP BY g HAVING COUNT(*) >= 2),
+            hits AS (SELECT w.doc_id, w.st FROM wins w JOIN dup USING (g)),
+            marks AS (
+                SELECT doc_id, st,
+                       CASE WHEN st <= COALESCE(MAX(st) OVER (
+                                PARTITION BY doc_id ORDER BY st
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -100) + 20
+                            THEN 0 ELSE 1 END AS is_new
+                FROM hits),
+            grp AS (
+                SELECT doc_id, st,
+                       SUM(is_new) OVER (PARTITION BY doc_id
+                                         ORDER BY st) AS gid
+                FROM marks),
+            merged AS (
+                SELECT doc_id, MIN(st) AS s, MAX(st) + 19 AS e
+                FROM grp GROUP BY doc_id, gid),
+            spans AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_dup_spans,
+                       CAST(SUM(e - s + 1) AS BIGINT) AS n_tokens_removed,
+                       MIN(s) AS first_span_s, MAX(e) AS last_span_e
+                FROM merged GROUP BY doc_id),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_dup_windows
+                    FROM hits GROUP BY doc_id)
+            SELECT t.doc_id, len(t.w) AS n_words,
+                   COALESCE(cnt.n_dup_windows, 0) AS n_dup_windows,
+                   COALESCE(spans.n_dup_spans, 0) AS n_dup_spans,
+                   COALESCE(spans.n_tokens_removed, 0) AS n_tokens_removed,
+                   COALESCE(spans.first_span_s, 0) AS first_span_s,
+                   COALESCE(spans.last_span_e, 0) AS last_span_e,
+                   len(t.w) - COALESCE(spans.n_tokens_removed, 0) AS n_kept
+            FROM t
+            LEFT JOIN spans USING (doc_id)
+            LEFT JOIN cnt USING (doc_id)
         """,
     }

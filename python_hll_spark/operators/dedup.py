@@ -1339,3 +1339,116 @@ def jaccard_word_pairs(df: DataFrame, text_col: str = "text",
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 6))
             .where(F.col("jaccard") >= threshold)
             .select("id_a", "id_b", "jaccard"))
+
+
+# ------------------------------------------- exact substring-span dedup
+def _window_hash_starts(df: DataFrame, k: int, tokens_col: str,
+                        id_col: str) -> DataFrame:
+    """One row per k-token window: (id, start, __h).  Window hashes are
+    computed in a single JVM pass per doc (``transform`` over a position
+    ``sequence``, ``xxhash64`` of each ``slice``) BEFORE the explode, so
+    the exploded frame carries 8-byte hashes — never materialized token
+    slices (a stride-1 window explode that sliced after exploding would
+    blow each doc up k-fold)."""
+    hashes = F.expr(
+        f"transform(sequence(1, size({tokens_col}) - {k - 1}), "
+        f"i -> xxhash64(slice({tokens_col}, i, {k})))")
+    return (df.where(F.size(tokens_col) >= k)
+            .select(F.col(id_col), F.posexplode(hashes).alias("__pos", "__h"))
+            .select(id_col, (F.col("__pos") + 1).alias("start"), "__h"))
+
+
+def dedup_spans_tokens(df: DataFrame, k: int = 50, min_count: int = 2,
+                       tokens_col: str = "tokens", id_col: str = "doc_id",
+                       keep_spans: bool = False) -> DataFrame:
+    """Exact substring-level dedup: remove every k-token window whose
+    content occurs >= ``min_count`` times ACROSS THE CORPUS (within-doc
+    repeats count too), the ExactSubstr tier of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better") at
+    window granularity.  This is the tier between whole-doc dedup
+    (``dedup_exact`` / MinHash) and intra-doc repetition stats: a doc
+    that EMBEDS a boilerplate passage shared with other docs keeps its
+    unique prose and loses just the duplicated span.
+
+    Semantics: ALL occurrences of a duplicated window are removed (the
+    published tool's default; keep-one would need a global tie-break
+    order — remove-all is order-free and hence deterministic under any
+    partitioning).  Overlapping/adjacent duplicated windows are merged
+    into maximal spans before removal, so ``n_tokens_removed`` counts
+    each position once.
+
+    Returns ``df`` with ``tokens_col`` replaced by the cleaned array plus
+    ``n_dup_windows`` (duplicated window starts in this doc),
+    ``n_dup_spans`` (merged maximal spans), ``n_tokens_removed``, and —
+    with ``keep_spans`` — ``dup_spans`` (the merged 1-based inclusive
+    ``[s, e]`` intervals, empty array when none).  Callers on the
+    input_hint shape recompute ``n_tok`` as ``size(tokens)`` afterwards.
+
+    Scale shape (the exact algorithm is irreducibly global — this is the
+    cheapest distributed form of it):
+    - window hashing is one JVM pass per doc, exploded rows are
+      (id, int, bigint) — the shuffles move ~16 bytes/token;
+    - duplicate detection is one groupBy-count on the 8-byte hash with
+      map-side partial aggregation (boilerplate-heavy partitions collapse
+      locally; a window duplicated 10 M times costs one count per
+      partition, not 10 M shuffled rows);
+    - hits come from an equi-join of the window frame against the
+      duplicated-hash set (AQE picks broadcast when the dup set is
+      small), NOT from collect_list per hash — per-hash position lists
+      are unbounded under mega-duplication, per-DOC lists (the next
+      groupBy) are bounded by doc length;
+    - span merging + token removal are pure JVM higher-order functions
+      (aggregate/filter/exists), no Python in the plan anywhere.
+    The window frame is evaluated twice (count pass + join pass) by
+    design: rescanning parquet beats persisting a tokens-scale exploded
+    frame at 100 TB.  64-bit hash collisions would merge distinct windows
+    (~n_windows^2 / 2^64 — negligible and deterministic); exactness per
+    the paper's tool, which also matches on hashes of this width.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    wins = _window_hash_starts(df, k, tokens_col, id_col)
+    dup = (wins.groupBy("__h").count()
+           .where(F.col("count") >= min_count).select("__h"))
+    hits = wins.join(dup, "__h").select(id_col, "start")
+    merged_expr = F.expr(f"""
+        aggregate(
+          __starts,
+          cast(array() as array<struct<s:int,e:int>>),
+          (acc, st) -> CASE
+            WHEN size(acc) > 0 AND st <= element_at(acc, -1).e + 1
+            THEN concat(slice(acc, 1, size(acc) - 1),
+                        array(named_struct(
+                            's', element_at(acc, -1).s,
+                            'e', greatest(element_at(acc, -1).e,
+                                          st + {k - 1}))))
+            ELSE concat(acc, array(named_struct('s', st,
+                                                'e', st + {k - 1})))
+          END)""")
+    spans = (hits.groupBy(id_col)
+             .agg(F.sort_array(F.collect_list("start")).alias("__starts"))
+             .select(id_col,
+                     F.size("__starts").alias("n_dup_windows"),
+                     merged_expr.alias("__spans")))
+    return (df.join(spans, id_col, "left")
+            .withColumn("n_dup_windows",
+                        F.coalesce("n_dup_windows", F.lit(0)))
+            .withColumn("n_dup_spans",
+                        F.when(F.col("__spans").isNull(), F.lit(0))
+                        .otherwise(F.size("__spans")))
+            .withColumn("n_tokens_removed",
+                        F.coalesce(
+                            F.expr("aggregate(__spans, 0, "
+                                   "(a, p) -> a + p.e - p.s + 1)"),
+                            F.lit(0)))
+            .withColumn(tokens_col,
+                        F.when(F.col("__spans").isNull(), F.col(tokens_col))
+                        .otherwise(F.expr(
+                            f"filter({tokens_col}, (x, i) -> "
+                            "not exists(__spans, "
+                            "p -> i + 1 >= p.s and i + 1 <= p.e))")))
+            .withColumns({"dup_spans": F.coalesce(
+                F.col("__spans"),
+                F.expr("cast(array() as array<struct<s:int,e:int>>)"))}
+                if keep_spans else {})
+            .drop("__spans"))
