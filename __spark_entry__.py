@@ -1820,6 +1820,43 @@ def q_dedup_spans_documents(spark, sf_dir):
         F.size("tokens").cast("long").alias("n_kept"))
 
 
+def q_decontaminate_spans_documents(spark, sf_dir):
+    """Span-granularity eval decontamination at GPT-3's 13-gram width:
+    the eval set is a deterministic slice of every 31st doc (40 words
+    starting at word 3), and every 13-word train window matching ANY
+    eval window is cut, overlapping hits merged to maximal spans — the
+    doc keeps its unique prose instead of being dropped.  Value-checked
+    per doc against a DuckDB mirror of the full algorithm (eval slice ->
+    window join -> gaps-and-islands merge): window/span counts, tokens
+    removed, span boundaries, and conservation ``n_kept = n_words -
+    n_tokens_removed``.  Eval-source docs themselves must lose exactly
+    their sliced region (+ any natural collisions)."""
+    from python_hll_spark.operators.decontaminate import (
+        decontaminate_spans_tokens)
+
+    docs = _read(spark, sf_dir, "documents")
+    words = (docs.select(
+        "doc_id",
+        F.expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")
+        .alias("tokens"))
+        .withColumn("n_words", F.size("tokens").cast("long")))
+    eval_df = (words.where((F.col("doc_id") % 31 == 0) &
+                           (F.size("tokens") >= 42))
+               .select("doc_id", F.slice("tokens", 3, 40).alias("tokens")))
+    out = decontaminate_spans_tokens(words, eval_df, k=13,
+                                     keep_spans=True)
+    return out.select(
+        "doc_id", "n_words",
+        F.col("n_contam_windows").cast("long").alias("n_contam_windows"),
+        F.col("n_contam_spans").cast("long").alias("n_contam_spans"),
+        F.col("n_tokens_removed").cast("long").alias("n_tokens_removed"),
+        F.coalesce(F.expr("try_element_at(contam_spans, 1).s"), F.lit(0))
+        .cast("long").alias("first_span_s"),
+        F.coalesce(F.expr("try_element_at(contam_spans, -1).e"), F.lit(0))
+        .cast("long").alias("last_span_e"),
+        F.size("tokens").cast("long").alias("n_kept"))
+
+
 def q_classifier_train_documents(spark, sf_dir):
     """TRAIN the quality classifier distributed (``classifier_train``:
     each full-batch iteration is one mergeable dense-gradient
@@ -2075,7 +2112,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # rides the tail like char_entropy: the classifier family keeps
         # its prefix row (classifier_scores_documents)
         "classifier_train_documents": q_classifier_train_documents,
+        # rides the tail: span-granularity dedup keeps a prefix row via
+        # strip_spans_documents (the word-granularity rewrite sibling);
+        # this is the token-path ExactSubstr variant of that capability
         "dedup_spans_documents": q_dedup_spans_documents,
+        # rides the tail: the decontamination family keeps two prefix
+        # rows (decontaminate_documents, ngram_decontaminate_documents);
+        # this is its span-surgery variant on the tokens path
+        "decontaminate_spans_documents": q_decontaminate_spans_documents,
     }
 
 
@@ -2900,6 +2944,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT t.doc_id, len(t.w) AS n_words,
                    COALESCE(cnt.n_dup_windows, 0) AS n_dup_windows,
                    COALESCE(spans.n_dup_spans, 0) AS n_dup_spans,
+                   COALESCE(spans.n_tokens_removed, 0) AS n_tokens_removed,
+                   COALESCE(spans.first_span_s, 0) AS first_span_s,
+                   COALESCE(spans.last_span_e, 0) AS last_span_e,
+                   len(t.w) - COALESCE(spans.n_tokens_removed, 0) AS n_kept
+            FROM t
+            LEFT JOIN spans USING (doc_id)
+            LEFT JOIN cnt USING (doc_id)
+        """,
+        # full mirror of decontaminate_spans_tokens at k=13: eval set =
+        # 40-word slice (positions 3..42) of every 31st doc, stride-1
+        # train windows joined against the DISTINCT eval window set,
+        # merged spans via the same gaps-and-islands recipe as the
+        # dedup_spans oracle
+        "decontaminate_spans_documents": """
+            WITH t AS (
+                SELECT doc_id,
+                       regexp_extract_all(lower(text), '[a-z0-9]+') AS w
+                FROM documents),
+            ev AS (
+                SELECT list_slice(w, 3, 42) AS ew
+                FROM t WHERE doc_id % 31 = 0 AND len(w) >= 42),
+            eg AS (
+                SELECT DISTINCT list_slice(ew, i, i + 12) AS g
+                FROM ev, UNNEST(generate_series(1, len(ew) - 12)) AS u(i)),
+            wins AS (
+                SELECT doc_id, i AS st, list_slice(w, i, i + 12) AS g
+                FROM t, UNNEST(generate_series(1, len(w) - 12)) AS u(i)
+                WHERE len(w) >= 13),
+            hits AS (SELECT w.doc_id, w.st FROM wins w JOIN eg USING (g)),
+            marks AS (
+                SELECT doc_id, st,
+                       CASE WHEN st <= COALESCE(MAX(st) OVER (
+                                PARTITION BY doc_id ORDER BY st
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                         AND 1 PRECEDING), -100) + 13
+                            THEN 0 ELSE 1 END AS is_new
+                FROM hits),
+            grp AS (
+                SELECT doc_id, st,
+                       SUM(is_new) OVER (PARTITION BY doc_id
+                                         ORDER BY st) AS gid
+                FROM marks),
+            merged AS (
+                SELECT doc_id, MIN(st) AS s, MAX(st) + 12 AS e
+                FROM grp GROUP BY doc_id, gid),
+            spans AS (
+                SELECT doc_id,
+                       COUNT(*) AS n_contam_spans,
+                       CAST(SUM(e - s + 1) AS BIGINT) AS n_tokens_removed,
+                       MIN(s) AS first_span_s, MAX(e) AS last_span_e
+                FROM merged GROUP BY doc_id),
+            cnt AS (SELECT doc_id, COUNT(*) AS n_contam_windows
+                    FROM hits GROUP BY doc_id)
+            SELECT t.doc_id, len(t.w) AS n_words,
+                   COALESCE(cnt.n_contam_windows, 0) AS n_contam_windows,
+                   COALESCE(spans.n_contam_spans, 0) AS n_contam_spans,
                    COALESCE(spans.n_tokens_removed, 0) AS n_tokens_removed,
                    COALESCE(spans.first_span_s, 0) AS first_span_s,
                    COALESCE(spans.last_span_e, 0) AS last_span_e,

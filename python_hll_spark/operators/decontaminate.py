@@ -138,3 +138,79 @@ def decontaminate_ngrams(train: DataFrame, eval_df: DataFrame, n: int = 13,
     bad = contamination_ngrams(train, eval_df, n, text_col, id_col) \
         .select(id_col)
     return train.join(F.broadcast(bad), id_col, "left_anti")
+
+
+def decontaminate_spans_tokens(train: DataFrame, eval_df: DataFrame,
+                               k: int = 13, tokens_col: str = "tokens",
+                               id_col: str = "doc_id",
+                               eval_tokens_col: str | None = None,
+                               keep_spans: bool = False,
+                               drop_if_removed_frac_ge: float | None = None,
+                               ) -> DataFrame:
+    """Span-granularity decontamination on the pre-tokenized table: cut
+    every k-token window of a TRAIN doc whose content also occurs in the
+    eval set, instead of dropping the whole doc.  This is the surgical
+    tier between ``decontaminate_ngrams`` (drops any doc with one
+    colliding 13-gram — loses the doc's unique prose) and doing nothing:
+    a long document quoting one benchmark question keeps everything but
+    the quoted span.  Overlapping/adjacent hit windows merge into maximal
+    spans first (same gaps-and-islands contract as
+    ``dedup_spans_tokens``), so ``n_tokens_removed`` counts each position
+    once.  Deterministic — no hash-seeded banding — hence exactly
+    SQL-mirrorable.
+
+    Returns ``train`` with ``tokens_col`` rewritten plus
+    ``n_contam_windows`` / ``n_contam_spans`` / ``n_tokens_removed`` and,
+    with ``keep_spans``, the merged 1-based inclusive ``contam_spans``.
+    With ``drop_if_removed_frac_ge`` set, docs whose removed-token
+    fraction reaches the threshold are dropped entirely (a doc that is
+    MOSTLY eval content is itself a leak; the standard practice is to
+    cut spans but drop wholesale copies).
+
+    100-TB shape: windows travel as 8-byte xxhash64 keys computed in one
+    JVM pass per doc BEFORE the explode (`_window_hash_starts`); the eval
+    window set is eval-sized (thousands of docs) so it broadcast-joins
+    against the exploded train windows — the train corpus is scanned
+    once and never shuffled; only HITS reach the per-doc grouping, and
+    span merge + token rewrite are pure JVM higher-order functions.
+    """
+    from python_hll_spark.operators.dedup import (_remove_spans,
+                                                  _window_hash_starts)
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    eval_wins = (_window_hash_starts(
+        eval_df, k, eval_tokens_col or tokens_col, id_col)
+        .select("__h").distinct())
+    wins = _window_hash_starts(train, k, tokens_col, id_col)
+    hits = (wins.join(F.broadcast(eval_wins), "__h")
+            .select(id_col, "start"))
+    out = _remove_spans(train, hits, k, tokens_col, id_col, keep_spans,
+                        ("n_contam_windows", "n_contam_spans",
+                         "n_tokens_removed", "contam_spans"))
+    if drop_if_removed_frac_ge is not None:
+        n_before = (F.size(tokens_col) +
+                    F.col("n_tokens_removed")).cast("double")
+        out = out.where(
+            (n_before == 0) |
+            (F.col("n_tokens_removed") / n_before <
+             F.lit(float(drop_if_removed_frac_ge))))
+    return out
+
+
+def contamination_spans_tokens(train: DataFrame, eval_df: DataFrame,
+                               k: int = 13, tokens_col: str = "tokens",
+                               id_col: str = "doc_id",
+                               eval_tokens_col: str | None = None,
+                               ) -> DataFrame:
+    """Per-doc contamination report for the span tier: (id,
+    n_contam_windows, n_contam_spans, n_tokens_removed, contam_spans)
+    for every train doc carrying at least one eval k-window — the audit
+    view of ``decontaminate_spans_tokens`` (same hits, same span merge,
+    no rewrite of the corpus)."""
+    rep = decontaminate_spans_tokens(train, eval_df, k, tokens_col,
+                                     id_col, eval_tokens_col,
+                                     keep_spans=True)
+    return (rep.where(F.col("n_contam_windows") > 0)
+            .select(id_col, "n_contam_windows", "n_contam_spans",
+                    "n_tokens_removed", "contam_spans"))

@@ -1411,6 +1411,21 @@ def dedup_spans_tokens(df: DataFrame, k: int = 50, min_count: int = 2,
     dup = (wins.groupBy("__h").count()
            .where(F.col("count") >= min_count).select("__h"))
     hits = wins.join(dup, "__h").select(id_col, "start")
+    return _remove_spans(df, hits, k, tokens_col, id_col, keep_spans,
+                         ("n_dup_windows", "n_dup_spans",
+                          "n_tokens_removed", "dup_spans"))
+
+
+def _remove_spans(df: DataFrame, hits: DataFrame, k: int, tokens_col: str,
+                  id_col: str, keep_spans: bool,
+                  names: tuple[str, str, str, str]) -> DataFrame:
+    """Shared tail of the span-removal operators: merge the per-doc hit
+    ``start`` positions of ``hits`` (one row per flagged k-window start)
+    into maximal 1-based inclusive spans, count windows/spans/removed
+    tokens under the caller's column ``names``, and rewrite
+    ``tokens_col`` with the spanned positions filtered out.  Pure JVM
+    higher-order functions; the only exchange groups hit rows by doc."""
+    n_windows, n_spans, n_removed, spans_name = names
     merged_expr = F.expr(f"""
         aggregate(
           __starts,
@@ -1428,15 +1443,15 @@ def dedup_spans_tokens(df: DataFrame, k: int = 50, min_count: int = 2,
     spans = (hits.groupBy(id_col)
              .agg(F.sort_array(F.collect_list("start")).alias("__starts"))
              .select(id_col,
-                     F.size("__starts").alias("n_dup_windows"),
+                     F.size("__starts").alias(n_windows),
                      merged_expr.alias("__spans")))
     return (df.join(spans, id_col, "left")
-            .withColumn("n_dup_windows",
-                        F.coalesce("n_dup_windows", F.lit(0)))
-            .withColumn("n_dup_spans",
+            .withColumn(n_windows,
+                        F.coalesce(n_windows, F.lit(0)))
+            .withColumn(n_spans,
                         F.when(F.col("__spans").isNull(), F.lit(0))
                         .otherwise(F.size("__spans")))
-            .withColumn("n_tokens_removed",
+            .withColumn(n_removed,
                         F.coalesce(
                             F.expr("aggregate(__spans, 0, "
                                    "(a, p) -> a + p.e - p.s + 1)"),
@@ -1447,7 +1462,7 @@ def dedup_spans_tokens(df: DataFrame, k: int = 50, min_count: int = 2,
                             f"filter({tokens_col}, (x, i) -> "
                             "not exists(__spans, "
                             "p -> i + 1 >= p.s and i + 1 <= p.e))")))
-            .withColumns({"dup_spans": F.coalesce(
+            .withColumns({spans_name: F.coalesce(
                 F.col("__spans"),
                 F.expr("cast(array() as array<struct<s:int,e:int>>)"))}
                 if keep_spans else {})
