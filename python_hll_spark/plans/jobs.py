@@ -174,6 +174,8 @@ def _prepare_corpus(args) -> None:
         strip_spans_n=args.strip_spans_n,
         gopher_rules=args.gopher_rules,
         decontaminate_ngram_n=args.decontaminate_ngram_n or None,
+        decontam_spans_k=args.decontam_spans_k or None,
+        decontam_spans_drop_frac=args.decontam_spans_drop_frac,
         ppl_drop_tail=args.ppl_drop_tail,
         min_model_score=args.min_model_score,
         model_weights=model_weights, model_bias=model_bias,
@@ -557,6 +559,13 @@ def main(argv=None) -> None:
     cp.add_argument("--decontaminate-ngram-n", type=int, default=0,
                     help="extra n-gram collision decontamination tier "
                          "(needs --eval-input; 0=off)")
+    cp.add_argument("--decontam-spans-k", type=int, default=0,
+                    help="span-surgery decontamination: cut eval-"
+                         "overlapping k-word windows out of docs instead "
+                         "of dropping them (needs --eval-input; 0=off)")
+    cp.add_argument("--decontam-spans-drop-frac", type=float, default=0.5,
+                    help="drop a doc wholesale when >= this fraction of "
+                         "its words is eval content")
     cp.add_argument("--mixture-weights", default="",
                     help="comma list of group=weight, e.g. web=1,code=2")
     cp.add_argument("--min-model-score", type=float, default=None,

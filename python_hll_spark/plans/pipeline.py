@@ -78,6 +78,15 @@ class CorpusFilterConfig:
     # extra n-gram collision decontamination tier (GPT-3 13-gram method;
     # needs eval_df).  None disables
     decontaminate_ngram_n: int | None = None
+    # span-granularity eval decontamination — the surgical ALTERNATIVE to
+    # decontaminate_ngram_n: cut the eval-overlapping k-word windows out
+    # of surviving docs (merged to maximal spans) instead of dropping the
+    # whole doc; docs losing >= decontam_spans_drop_frac of their words
+    # are dropped wholesale (a doc that is mostly eval content is itself
+    # a leak).  Needs eval_df.  NOTE: like strip_spans, a rewritten doc
+    # carries the normalized word stream (lowercased, space-joined)
+    decontam_spans_k: int | None = None
+    decontam_spans_drop_frac: float = 0.5
     # CCNet perplexity filter: score the exact-deduped corpus with the
     # corpus-self interpolated bigram LM, tercile it head/middle/tail,
     # drop the tail (dedup runs FIRST so boilerplate repeats don't skew
@@ -98,7 +107,8 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
         -> model-score filter (adds a ``score`` column)
         -> per-domain cap -> exact dedup -> near-dup removal
         -> eval-set decontamination (pass ``eval_df``; exact + LSH near
-           + optional n-gram collision tier) -> mixture rebalance
+           + optional n-gram collision tier OR span-surgery tier)
+        -> mixture rebalance
     """
     cfg = cfg or CorpusFilterConfig()
 
@@ -278,6 +288,40 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
         metrics["rows_after_ngram_decontamination"] = clean.count()
         upstream.unpersist()
 
+    if eval_df is not None and cfg.decontam_spans_k:
+        from python_hll_spark.functions.text import _norm_word_array
+        from python_hll_spark.operators.decontaminate import \
+            decontaminate_spans_tokens
+        upstream = clean
+        ewords = eval_df.select(
+            F.col(id_col),
+            _norm_word_array(F.col(text_col)).alias("__w"))
+        cut = decontaminate_spans_tokens(
+            clean.withColumn("__w", _norm_word_array(F.col(text_col))),
+            ewords, k=cfg.decontam_spans_k, tokens_col="__w",
+            id_col=id_col,
+            drop_if_removed_frac_ge=cfg.decontam_spans_drop_frac)
+        span_obs = Observation("span_decontam")
+        clean = (cut.withColumn(
+                     text_col,
+                     F.when(F.col("n_tokens_removed") > 0,
+                            F.concat_ws(" ", "__w"))
+                     .otherwise(F.col(text_col)))
+                 .observe(span_obs,
+                          F.sum((F.col("n_tokens_removed") > 0)
+                                .cast("long")).alias("docs_span_cut"),
+                          F.sum("n_tokens_removed")
+                          .alias("words_span_cut"))
+                 .drop("__w", "n_contam_windows", "n_contam_spans",
+                       "n_tokens_removed")
+                 .persist())
+        # one action materializes the cache AND collects the cut metrics
+        metrics["rows_after_span_decontamination"] = clean.count()
+        got = span_obs.get
+        metrics["docs_span_cut"] = int(got["docs_span_cut"] or 0)
+        metrics["words_span_cut"] = int(got["words_span_cut"] or 0)
+        upstream.unpersist()
+
     if cfg.mixture_weights:
         from python_hll_spark.operators.sampling import mixture_sample
         clean, plan = mixture_sample(clean, cfg.mixture_weights,
@@ -290,12 +334,14 @@ def prepare_corpus(df: DataFrame, cfg: CorpusFilterConfig | None = None,
 
     metrics["rows_out"] = metrics.get(
         "rows_after_mixture",
-        metrics.get("rows_after_ngram_decontamination",
-                    metrics.get("rows_after_decontamination",
-                                metrics.get("rows_after_near_dedup",
+        metrics.get("rows_after_span_decontamination",
+                    metrics.get("rows_after_ngram_decontamination",
+                                metrics.get("rows_after_decontamination",
                                             metrics.get(
-                                                "rows_after_ppl_filter",
-                                                metrics["rows_after_exact_dedup"])))))
+                                                "rows_after_near_dedup",
+                                                metrics.get(
+                                                    "rows_after_ppl_filter",
+                                                    metrics["rows_after_exact_dedup"]))))))
     return clean, metrics
 
 

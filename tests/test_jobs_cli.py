@@ -77,12 +77,17 @@ def test_spark_submit_prepare_corpus(tmp_path, spark):
         [SPARK_SUBMIT, "--master", "local[4]", "--py-files", zip_path, job,
          "prepare-corpus", "--input", inp, "--output", out,
          "--eval-input", ev, "--min-quality", "0.0", "--redact-pii",
-         "--line-dedup-min-docs", "2", "--decontaminate-ngram-n", "5"],
+         "--line-dedup-min-docs", "2", "--decontaminate-ngram-n", "5",
+         "--decontam-spans-k", "7"],
         capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path))
     assert res.returncode == 0, res.stderr[-2000:]
     final = json.loads(res.stdout.strip().splitlines()[-1])
     assert final["rows_out"] > 0
     assert "rows_after_decontamination" in res.stdout
+    # span tier ran after the (stricter) 5-gram drop tier: flag threaded,
+    # metrics emitted, nothing left for it to cut
+    assert "rows_after_span_decontamination" in res.stdout
+    assert "docs_span_cut" in res.stdout
     # decontaminated corpus has no doc whose content matches an eval doc
     got = spark.read.parquet(out)
     contaminated = {r["doc_id"] for r in docs.where("doc_id % 25 = 0").collect()}

@@ -526,3 +526,49 @@ def test_with_char_entropy_matches_frame(spark, documents):
     assert via_pass.keys() == via_frame.keys()
     assert all(abs(via_pass[k] - via_frame[k]) < 1e-12 for k in via_frame)
     assert with_char_entropy(docs).columns == docs.columns + ["entropy"]
+
+
+def test_prepare_corpus_span_decontam_stage(spark, documents):
+    """Span-surgery decontamination stage: a doc EMBEDDING an eval
+    passage keeps its unique prose minus exactly the passage; a doc that
+    is MOSTLY eval content drops wholesale via the removed-fraction
+    threshold; untouched docs keep their original (un-normalized) text;
+    the cut metrics are exact."""
+    from python_hll_spark.plans.pipeline import (
+        CorpusFilterConfig, prepare_corpus)
+
+    ev_words = " ".join(f"zqev{i}" for i in range(14))   # 14 marker words
+    embed = (990001, "web",
+             "the quick brown fox jumps over the lazy dog today "
+             + ev_words +
+             " and continues with plenty of unique trailing prose after")
+    mostly = (990002, "web",
+              ev_words + " tail1 tail2 tail3 tail4 tail5 tail6 tail7 "
+              "tail8")                      # 14/22 eval >= 0.5 -> drop
+    base = documents.select("doc_id", "source", "text").limit(30)
+    df = base.unionByName(spark.createDataFrame(
+        [embed, mostly], "doc_id long, source string, text string"))
+    eval_df = spark.createDataFrame(
+        [(1, "eval", ev_words)], "doc_id long, source string, text string")
+    cfg = CorpusFilterConfig(min_quality=0.0, min_words=1,
+                             run_near_dedup=False, decontam_spans_k=7)
+    clean, m = prepare_corpus(df, cfg, eval_df=eval_df)
+    rows = {r["doc_id"]: r["text"] for r in
+            clean.select("doc_id", "text").collect()}
+    clean.unpersist()
+
+    assert 990002 not in rows               # mostly-eval doc dropped
+    assert 990001 in rows                   # embedding doc survives, cut
+    assert "zqev0" not in rows[990001] and "zqev13" not in rows[990001]
+    assert "fox" in rows[990001] and "trailing" in rows[990001]
+    # untouched docs keep their ORIGINAL text byte-for-byte
+    orig = {r["doc_id"]: r["text"] for r in base.limit(5).collect()}
+    for did, txt in orig.items():
+        assert rows[did] == txt
+    assert m["docs_span_cut"] == 1          # only the survivor was cut
+    assert m["words_span_cut"] == 14        # exactly the eval passage
+    # the wholesale drop happened in THIS stage (exact/near tiers see
+    # different fingerprints and sub-0.9 Jaccard for the 22-word doc)
+    assert (m["rows_after_span_decontamination"]
+            == m["rows_after_decontamination"] - 1)
+    assert m["rows_out"] == m["rows_after_span_decontamination"]
