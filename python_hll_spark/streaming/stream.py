@@ -289,6 +289,46 @@ def decontaminate_stream(stream_df: DataFrame, eval_df: DataFrame,
             .drop("__fp"))
 
 
+def decontaminate_spans_stream(stream_df: DataFrame, eval_df: DataFrame,
+                               sink_path: str | None = None, *,
+                               k: int = 13, tokens_col: str = "tokens",
+                               id_col: str = "doc_id",
+                               eval_tokens_col: str | None = None,
+                               drop_if_removed_frac_ge: float | None = 0.5,
+                               sink_writer=None):
+    """Streaming span-surgery decontamination: every micro-batch of the
+    crawl stream has its eval-overlapping k-token windows cut (merged to
+    maximal spans) against the STATIC eval set, survivors written to the
+    sink with their ``n_contam_*`` audit columns; docs that are mostly
+    eval content drop wholesale.
+
+    Built on ``foreachBatch`` because the span tier groups hit windows
+    per doc and joins back — a stream-side aggregation Structured
+    Streaming can't run inline — so each micro-batch runs the UNCHANGED
+    batch ``decontaminate_spans_tokens`` against the static eval frame;
+    streaming and batch share one code path.  Unlike the near-dedup
+    stream there is no store: batches are independent, so a replayed
+    batch recomputes identical rows (pass an idempotent
+    ``sink_writer(df, batch_id)`` to make the sink exactly-once too).
+
+    Returns a ``DataStreamWriter`` — configure checkpointing/trigger and
+    ``.start()`` it."""
+    from python_hll_spark.operators.decontaminate import \
+        decontaminate_spans_tokens
+
+    def _process(batch_df: DataFrame, batch_id: int) -> None:
+        out = decontaminate_spans_tokens(
+            batch_df, eval_df, k=k, tokens_col=tokens_col, id_col=id_col,
+            eval_tokens_col=eval_tokens_col,
+            drop_if_removed_frac_ge=drop_if_removed_frac_ge)
+        if sink_writer is not None:
+            sink_writer(out, batch_id)
+        elif sink_path is not None:
+            out.write.mode("append").parquet(sink_path)
+
+    return stream_df.writeStream.foreachBatch(_process)
+
+
 def near_dedup_stream(stream_df: DataFrame, store_path: str,
                       sink_path: str | None = None, *,
                       threshold: float = 0.8, num_hashes: int = 128,

@@ -235,3 +235,53 @@ def test_near_dedup_stream_as_decontaminator(spark, tmp_path):
     assert kept == [2], kept
     sigs, _ = near_store_read(spark, store)
     assert sorted(r["doc_id"] for r in sigs.collect()) == [900]  # unchanged
+
+
+def test_decontaminate_spans_stream_matches_batch(spark, tmp_path):
+    """Streaming span-surgery decontamination: micro-batches through the
+    foreachBatch leg produce exactly the batch operator's output — an
+    embedded eval passage is cut, a mostly-eval doc drops wholesale, a
+    clean doc flows through untouched."""
+    import time as _t
+
+    from python_hll_spark.operators.decontaminate import \
+        decontaminate_spans_tokens
+    from python_hll_spark.streaming.stream import decontaminate_spans_stream
+
+    eval_df = spark.createDataFrame(
+        [(900, list(range(100, 110)))], "doc_id long, tokens array<int>")
+    b1 = spark.createDataFrame(
+        [(1, [1, 2, 3, 4, 5, 6] + list(range(100, 110))
+             + [7, 8, 11, 12, 13, 14]),                       # cut middle
+         (2, [50, 51, 52, 53, 54, 55])],                      # clean
+        "doc_id long, tokens array<int>")
+    b2 = spark.createDataFrame(
+        [(3, list(range(100, 110)) + [9]),                    # mostly eval
+         (4, [60, 61, 62, 63, 64])],                          # clean
+        "doc_id long, tokens array<int>")
+    src = str(tmp_path / "src")
+    b1.coalesce(1).write.parquet(src)
+    _t.sleep(1.1)
+    b2.coalesce(1).write.mode("append").parquet(src)
+
+    sink = str(tmp_path / "sink")
+    stream = (spark.readStream.schema(b1.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src))
+    q = (decontaminate_spans_stream(stream, eval_df, sink, k=4,
+                                    drop_if_removed_frac_ge=0.5)
+         .option("checkpointLocation", str(tmp_path / "chk"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(240)
+    assert not q.isActive and q.exception() is None
+
+    got = {r["doc_id"]: (list(r["tokens"]), r["n_tokens_removed"])
+           for r in spark.read.parquet(sink).collect()}
+    want = {r["doc_id"]: (list(r["tokens"]), r["n_tokens_removed"])
+            for r in decontaminate_spans_tokens(
+                b1.unionByName(b2), eval_df, k=4,
+                drop_if_removed_frac_ge=0.5).collect()}
+    assert got == want
+    assert sorted(got) == [1, 2, 4]                 # doc 3 dropped
+    assert got[1][0] == [1, 2, 3, 4, 5, 6,
+                         7, 8, 11, 12, 13, 14]      # span cut exactly
+    assert got[2][1] == 0 and got[4][1] == 0
