@@ -17,6 +17,7 @@ import numpy as np
 from python_hll_spark.functions.hashing import splitmix64
 
 _MAGIC = b"BLM1"
+_MAGIC_SPARSE = b"BLM2"
 
 
 @dataclass(frozen=True)
@@ -99,16 +100,36 @@ class BloomSketch:
         return np.packbits(self.unpacked, bitorder="little")
 
     def to_bytes(self) -> bytes:
-        head = _MAGIC + struct.pack("<iiqq", self.cfg.log2_bits, self.cfg.num_hashes,
-                                    self.cfg.seed, self.n_added)
-        return head + self.bits.tobytes()
+        """Self-describing blob; representation chosen by size.
+
+        Sparse states (few set bits — e.g. per-task PARTIALS of a
+        distributed build, which otherwise ship the full n_bits/8 bitmap
+        through two shuffle stages) serialize as sorted uint32/uint64 set-bit
+        positions (``BLM2``); dense states keep the packed bitmap
+        (``BLM1``).  The choice is a deterministic function of the state,
+        so distributed and sequential builds of the same bit set still
+        byte-match."""
+        head = struct.pack("<iiqq", self.cfg.log2_bits, self.cfg.num_hashes,
+                           self.cfg.seed, self.n_added)
+        positions = np.flatnonzero(self.unpacked)
+        pos_dtype = np.uint32 if self.cfg.log2_bits <= 32 else np.uint64
+        if len(positions) * np.dtype(pos_dtype).itemsize < self.cfg.n_bits // 8:
+            return (_MAGIC_SPARSE + head
+                    + positions.astype(pos_dtype).tobytes())
+        return _MAGIC + head + self.bits.tobytes()
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "BloomSketch":
-        assert data[:4] == _MAGIC, "not a BLM1 blob"
+        magic = bytes(data[:4])
+        assert magic in (_MAGIC, _MAGIC_SPARSE), "not a BLM blob"
         log2_bits, k, seed, n_added = struct.unpack("<iiqq", data[4:28])
         sk = cls(BloomConfig(log2_bits, k, seed))
-        sk.unpacked = np.unpackbits(np.frombuffer(data[28:], dtype=np.uint8),
-                                    bitorder="little")
+        if magic == _MAGIC_SPARSE:
+            pos_dtype = np.uint32 if log2_bits <= 32 else np.uint64
+            positions = np.frombuffer(data[28:], dtype=pos_dtype)
+            sk.unpacked[positions] = 1
+        else:
+            sk.unpacked = np.unpackbits(np.frombuffer(data[28:], dtype=np.uint8),
+                                        bitorder="little")
         sk.n_added = n_added
         return sk

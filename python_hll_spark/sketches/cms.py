@@ -19,6 +19,8 @@ import numpy as np
 from python_hll_spark.functions.hashing import splitmix64
 
 _MAGIC = b"CMS1"
+_MAGIC_SPARSE = b"CMS2"
+_MAGIC_DENSE = b"CMS3"
 
 
 @dataclass(frozen=True)
@@ -118,15 +120,64 @@ class CMSSketch:
         self.total += other.total
 
     def to_bytes(self) -> bytes:
-        head = _MAGIC + struct.pack("<iiqq", self.cfg.depth, self.cfg.width,
-                                    self.cfg.seed, self.total)
-        return head + self.counts.tobytes()
+        """Self-describing blob; representation chosen by size.
+
+        A depth x width int64 grid is 2.6 MB at the default top-k shape,
+        yet per-task PARTIALS of a distributed build are mostly zeros and
+        every count is bounded by the (tiny) slice a task saw — so sparse
+        (flat positions + narrow counts, ``CMS2``) or dense-narrow
+        (``CMS3``) encodings win by 10-100x and the partial-merge shuffles
+        stop moving megabytes per row.  The choice is a deterministic
+        function of the counts, so distributed and sequential builds of
+        the same multiset still byte-match.  Negative counts (never
+        produced by update/merge) fall back to the legacy int64 grid."""
+        head = struct.pack("<iiqq", self.cfg.depth, self.cfg.width,
+                           self.cfg.seed, self.total)
+        maxc = int(self.counts.max(initial=0))
+        minc = int(self.counts.min(initial=0))
+        if minc < 0:
+            return _MAGIC + head + self.counts.tobytes()
+        cnt_dtype = next(d for d in (np.uint8, np.uint16, np.uint32, np.uint64)
+                         if maxc <= np.iinfo(d).max)
+        cnt_size = np.dtype(cnt_dtype).itemsize
+        cells = self.cfg.depth * self.cfg.width
+        pos_dtype = np.uint32 if cells <= (1 << 32) else np.uint64
+        pos_size = np.dtype(pos_dtype).itemsize
+        flat = self.counts.ravel()
+        positions = np.flatnonzero(flat)
+        sparse_size = len(positions) * (pos_size + cnt_size)
+        if sparse_size < cells * cnt_size:
+            return (_MAGIC_SPARSE + head + bytes([cnt_size])
+                    + positions.astype(pos_dtype).tobytes()
+                    + flat[positions].astype(cnt_dtype).tobytes())
+        return (_MAGIC_DENSE + head + bytes([cnt_size])
+                + flat.astype(cnt_dtype).tobytes())
 
     @classmethod
     def from_bytes(cls, data: bytes) -> "CMSSketch":
-        assert data[:4] == _MAGIC, "not a CMS1 blob"
+        magic = bytes(data[:4])
+        assert magic in (_MAGIC, _MAGIC_SPARSE, _MAGIC_DENSE), "not a CMS blob"
         depth, width, seed, total = struct.unpack("<iiqq", data[4:28])
         sk = cls(CMSConfig(depth, width, seed))
-        sk.counts = np.frombuffer(data[28:], dtype=np.int64).reshape(depth, width).copy()
+        if magic == _MAGIC:
+            sk.counts = np.frombuffer(data[28:], dtype=np.int64) \
+                .reshape(depth, width).copy()
+        else:
+            cnt_size = data[28]
+            cnt_dtype = {1: np.uint8, 2: np.uint16, 4: np.uint32,
+                         8: np.uint64}[cnt_size]
+            body = data[29:]
+            if magic == _MAGIC_DENSE:
+                sk.counts = np.frombuffer(body, dtype=cnt_dtype) \
+                    .astype(np.int64).reshape(depth, width)
+            else:
+                cells = depth * width
+                pos_dtype = np.uint32 if cells <= (1 << 32) else np.uint64
+                pos_size = np.dtype(pos_dtype).itemsize
+                nnz = len(body) // (pos_size + cnt_size)
+                positions = np.frombuffer(body[:nnz * pos_size], dtype=pos_dtype)
+                vals = np.frombuffer(body[nnz * pos_size:], dtype=cnt_dtype)
+                flat = sk.counts.ravel()
+                flat[positions] = vals
         sk.total = total
         return sk

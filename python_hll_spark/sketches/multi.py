@@ -19,7 +19,8 @@ def _registry():
         from python_hll_spark.sketches.kll import KLLSketch
         from python_hll_spark.sketches.tdigest import TDigestSketch
 
-        _MAGICS = {b"CMS1": CMSSketch, b"BLM1": BloomSketch,
+        _MAGICS = {b"CMS1": CMSSketch, b"CMS2": CMSSketch, b"CMS3": CMSSketch,
+                   b"BLM1": BloomSketch, b"BLM2": BloomSketch,
                    b"KLL1": KLLSketch, b"TDG1": TDigestSketch}
     return _MAGICS
 
