@@ -162,6 +162,8 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
     from pyspark import TaskContext
 
     from python_hll_spark.functions.hashing import splitmix64
+    from python_hll_spark.sketches.hll import (HLLSketch, HLLType,
+                                               _rho_and_index, _scatter_max)
 
     out_schema = _partial_schema(df.select(*group_cols, token_col), group_cols)
     pruned = df.select(*group_cols, token_col)
@@ -203,6 +205,35 @@ def token_partials_arrow(df: DataFrame, group_cols: list[str], token_col: str,
                 counts[key][1] += len(flat)
                 continue
             value_groups = np.repeat(codes, lengths)
+            sts = [states[k] for k in keys]
+            if all(isinstance(s, HLLSketch) and s.type == HLLType.FULL
+                   for s in sts):
+                # all-FULL fast path (every batch after the states promote,
+                # i.e. the 100TB steady state): ONE fused rho/scatter-max
+                # over the whole chunk into a stacked (group, register)
+                # block via a combined index — the per-chunk stable argsort
+                # separation (~35% of kernel time at 5 groups) disappears.
+                # Scatter-max is order-independent, FULL states never
+                # re-check promotion, and counts are exact, so the partial
+                # rows are byte-identical to the sorted path's.
+                m = sts[0].cfg.m
+                stacked = np.empty((n_groups, m), dtype=np.uint8)
+                for g, s in enumerate(sts):
+                    stacked[g] = s.regs
+                stacked_flat = stacked.ravel()
+                for start in range(0, len(flat), CHUNK):
+                    sl = slice(start, start + CHUNK)
+                    hashed = splitmix64(flat[sl].astype(np.int64),
+                                        seed=hash_seed)
+                    j, rho = _rho_and_index(sts[0].cfg, hashed)
+                    j += value_groups[sl] * m
+                    _scatter_max(stacked_flat, j, rho)
+                vcnt = np.bincount(codes, weights=lengths,
+                                   minlength=n_groups).astype(np.int64)
+                for g, (key, s) in enumerate(zip(keys, sts)):
+                    s.regs[:] = stacked[g]
+                    counts[key][1] += int(vcnt[g])
+                continue
             for start in range(0, len(flat), CHUNK):
                 sl = slice(start, start + CHUNK)
                 hashed = splitmix64(flat[sl].astype(np.int64), seed=hash_seed)
