@@ -42,6 +42,42 @@ def splitmix64(x: np.ndarray, seed: int = 0) -> np.ndarray:
     return z.view(np.int64)
 
 
+_XXH_P1 = _U64(0x9E3779B185EBCA87)
+_XXH_P2 = _U64(0xC2B2AE3D27D4EB4F)
+_XXH_P3 = _U64(0x165667B19E3779F9)
+_XXH_P4 = _U64(0x85EBCA77C2B2AE63)
+_XXH_P5 = _U64(0x27D4EB2F165667C5)
+
+
+def _xxh64_fmix(h: np.ndarray) -> np.ndarray:
+    h ^= h >> _U64(33)
+    h *= _XXH_P2
+    h ^= h >> _U64(29)
+    h *= _XXH_P3
+    h ^= h >> _U64(32)
+    return h
+
+
+def xxhash64_int(values: np.ndarray, seed) -> np.ndarray:
+    """Bit-exact vectorized Spark ``xxhash64`` over IntegerType input
+    (catalyst XXH64.hashInt): lets Arrow kernels reproduce JVM-side
+    ``F.xxhash64(int_col)`` without a join or a Python boundary re-cross.
+    ``seed`` may be a scalar (expression seed, default 42) or a uint64
+    array (the multi-argument fold ``xxhash64(a, b)`` threads the running
+    hash as the next element's seed).  Returns signed int64."""
+    v = np.asarray(values)
+    iv = (v.astype(np.int64, copy=False).view(_U64)
+          & _U64(0xFFFFFFFF))  # (input & 0xFFFFFFFFL)
+    if np.isscalar(seed) or np.ndim(seed) == 0:
+        h = np.full(len(iv), _U64(int(seed) & 0xFFFFFFFFFFFFFFFF)
+                    + _XXH_P5 + _U64(4))
+    else:
+        h = seed + (_XXH_P5 + _U64(4))
+    h ^= iv * _XXH_P1
+    h = ((h << _U64(23)) | (h >> _U64(41))) * _XXH_P2 + _XXH_P3
+    return _xxh64_fmix(h).view(np.int64)
+
+
 def hash_tokens(tokens: np.ndarray, seed: int = 0) -> np.ndarray:
     """Hash int32 token ids to well-mixed signed int64 (HLL/CMS/Bloom input)."""
     return splitmix64(tokens.astype(np.int64, copy=False), seed=seed)

@@ -91,10 +91,50 @@ def bucket_counts(df: DataFrame, text_col: str = "text",
 def bucket_counts_tokens(df: DataFrame, tokens_col: str = "tokens",
                          buckets: int = 10000,
                          bigrams: bool = True) -> DataFrame:
-    """``bucket_counts`` over the pre-tokenized table shape."""
-    feats = hashed_ngram_features_tokens(F.col(tokens_col), buckets, bigrams)
-    return (df.select(F.explode(feats).alias("bucket"))
-            .groupBy("bucket").agg(F.count("*").alias("cnt")))
+    """``bucket_counts`` over the pre-tokenized table shape — as ONE Arrow
+    kernel pass: per-task ``np.bincount`` over the bit-exact vectorized
+    ``pmod(xxhash64(...), buckets)`` featurizer (``hashing.xxhash64_int``),
+    emitting at most ``buckets`` (bucket, cnt) partial rows per task for a
+    final tiny sum.  Counts are integers, so the result is EXACTLY the
+    explode + groupBy plan's, without materializing ~2 JVM rows per token."""
+    import numpy as np
+    import pyarrow as pa
+
+    from python_hll_spark.functions.hashing import xxhash64_int
+
+    nb = buckets
+
+    def gen(batches):
+        acc = np.zeros(nb, dtype=np.int64)
+        for batch in batches:
+            toks = batch.column(tokens_col)
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offs = toks.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            offs = offs - offs[0]
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            if len(flat) == 0:
+                continue
+            h_uni = xxhash64_int(flat, 42)
+            acc += np.bincount(np.remainder(h_uni, nb), minlength=nb)
+            if bigrams and len(flat) > 1:
+                bb = np.remainder(
+                    xxhash64_int(flat[1:], h_uni[:-1].view(np.uint64)), nb)
+                last = offs[1:] - 1
+                valid = np.ones(len(flat) - 1, dtype=bool)
+                valid[last[(last >= 0) & (last < len(flat) - 1)]] = False
+                acc += np.bincount(bb[valid], minlength=nb)
+        nz = np.flatnonzero(acc)
+        if len(nz) == 0:
+            return
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(nz, pa.int64()), pa.array(acc[nz], pa.int64())],
+            names=["bucket", "cnt"])
+
+    partials = df.select(tokens_col).mapInArrow(
+        gen, schema="bucket bigint, cnt bigint")
+    return partials.groupBy("bucket").agg(F.sum("cnt").alias("cnt"))
 
 
 def dsir_logratio(target_counts: DataFrame, raw_counts: DataFrame,
@@ -140,9 +180,99 @@ def dsir_weights_tokens(df: DataFrame, logratio: DataFrame,
                         tokens_col: str = "tokens", id_col: str = "doc_id",
                         buckets: int = 10000,
                         bigrams: bool = True) -> DataFrame:
-    """``dsir_weights`` over the pre-tokenized table shape."""
-    feats = hashed_ngram_features_tokens(F.col(tokens_col), buckets, bigrams)
-    return _weights_impl(df, feats, logratio, id_col)
+    """``dsir_weights`` over the pre-tokenized table shape — as ONE Arrow
+    kernel pass instead of explode + broadcast join + re-aggregate.
+
+    The explode materializes ~2 JVM rows per token (a billion-row frame
+    per 500M-token batch) only to look each one up in a 10k-row broadcast
+    table and sum per doc.  The kernel does the same lookup as a numpy
+    gather against the broadcast ``float64[buckets]`` ratio table inside
+    the scan, with the featurizer a BIT-EXACT vectorized replication of
+    the JVM ``pmod(xxhash64(...), buckets)`` path (``hashing.xxhash64_int``,
+    pinned against ``F.xxhash64``), so per-doc feature buckets — and
+    therefore ``n_features`` — are identical to the join plan's.  Docs
+    with zero (matched) features drop out exactly like the inner join;
+    per-doc float sums agree with the join plan up to summation-order ulp
+    (same tolerance class as any shuffle-order change).
+
+    NOTE: materializes ``logratio`` eagerly (buckets-row collect — the
+    same rows the join plan would broadcast)."""
+    import numpy as np
+    import pyarrow as pa
+
+    from python_hll_spark.functions.hashing import xxhash64_int
+
+    table = np.zeros(buckets, dtype=np.float64)
+    present = np.zeros(buckets, dtype=bool)
+    for r in logratio.select("bucket", "logratio").collect():
+        table[r["bucket"]] = r["logratio"]
+        present[r["bucket"]] = True
+    all_present = bool(present.all())
+    sc = df.sparkSession.sparkContext
+    bc = sc.broadcast((table, None if all_present else present))
+    id_type = dict(df.dtypes)[id_col]
+    nb = buckets
+
+    def gen(batches):
+        tbl, pres = bc.value
+        for batch in batches:
+            toks = batch.column(tokens_col)
+            if isinstance(toks, pa.ChunkedArray):
+                toks = toks.combine_chunks()
+            offs = toks.offsets.to_numpy(zero_copy_only=False) \
+                .astype(np.int64, copy=False)
+            offs = offs - offs[0]
+            flat = toks.flatten().to_numpy(zero_copy_only=False)
+            n_docs = len(offs) - 1
+            lens = offs[1:] - offs[:-1]
+            h_uni = xxhash64_int(flat, 42)
+            ub = np.remainder(h_uni, nb)
+            contrib = tbl[ub]
+            if pres is not None:
+                uok = pres[ub]
+                contrib = np.where(uok, contrib, 0.0)
+                ucnt_all = np.concatenate([[0], np.cumsum(uok)])
+                n_feat = ucnt_all[offs[1:]] - ucnt_all[offs[:-1]]
+            else:
+                n_feat = lens.copy()
+            csum = np.concatenate([[0.0], np.cumsum(contrib)])
+            weight = csum[offs[1:]] - csum[offs[:-1]]
+            if bigrams and len(flat) > 1:
+                # pair hash folds the running hash as the next seed, so
+                # the first element's unigram hash is reused directly
+                bb = np.remainder(
+                    xxhash64_int(flat[1:], h_uni[:-1].view(np.uint64)), nb)
+                bcontrib = tbl[bb]
+                last = offs[1:] - 1
+                valid = np.ones(len(flat) - 1, dtype=bool)
+                valid[last[(last >= 0) & (last < len(flat) - 1)]] = False
+                if pres is not None:
+                    valid &= pres[bb]
+                bcontrib = np.where(valid, bcontrib, 0.0)
+                bcsum = np.concatenate([[0.0], np.cumsum(bcontrib)])
+                cap = len(flat) - 1
+                s = np.minimum(offs[:-1], cap)
+                e = np.maximum(np.minimum(offs[1:] - 1, cap), s)
+                weight = weight + (bcsum[e] - bcsum[s])
+                vcnt = np.concatenate([[0], np.cumsum(valid)])
+                n_feat = n_feat + (vcnt[e] - vcnt[s])
+            keep = n_feat > 0
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            if not keep.all():
+                mask = pa.array(keep)
+                ids = ids.filter(mask)
+                n_feat = n_feat[keep]
+                weight = weight[keep]
+            yield pa.RecordBatch.from_arrays(
+                [ids, pa.array(n_feat.astype(np.int64), pa.int64()),
+                 pa.array(weight, pa.float64())],
+                names=[id_col, "n_features", "dsir_weight"])
+
+    return df.select(id_col, tokens_col).mapInArrow(
+        gen, schema=f"`{id_col}` {id_type}, n_features bigint, "
+                    f"dsir_weight double")
 
 
 def _weights_impl(df: DataFrame, feats: Column, logratio: DataFrame,
