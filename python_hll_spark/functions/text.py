@@ -301,16 +301,76 @@ def bigram_logprob_tokens(df, tokens_col: str = "tokens",
     here are fixed 24-byte tuples — measured 18% faster end-to-end at
     2 M docs / 478 M tokens than 30k, while 2^20 regresses (the hot sort
     and broadcast start to dominate)."""
+    import numpy as np
+    import pyarrow as pa
+
     if not 0.0 <= lam <= 1.0:
         raise ValueError("lam must be in [0, 1]")
-    toks = F.col(tokens_col)
-    nb = F.greatest(F.size(toks) - 1, F.lit(0))
-    pack = lambda a, b: (F.shiftleft(a.cast("bigint"), 32)  # noqa: E731
-                         + b.cast("bigint"))
-    bigram_keys = F.zip_with(F.slice(toks, 1, nb), F.slice(toks, 2, nb), pack)
-    uni_keys = F.transform(toks, lambda t: -(t.cast("bigint") + 1))
-    freq = (df.select(F.explode(F.concat(uni_keys, bigram_keys)).alias("k"))
-            .groupBy("k").agg(F.count("*").alias("cnt")).persist())
+
+    def _flat_offsets(batch):
+        toks = batch.column(tokens_col)
+        if isinstance(toks, pa.ChunkedArray):
+            toks = toks.combine_chunks()
+        offs = toks.offsets.to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        offs = offs - offs[0]
+        flat = toks.flatten().to_numpy(zero_copy_only=False) \
+            .astype(np.int64, copy=False)
+        return toks, flat, offs
+
+    def _pair_keys(flat, offs):
+        """(keys int64[], doc_of_pair int64[]) for within-doc adjacent
+        pairs, in doc order — the numpy mirror of the JVM
+        ``zip_with(slice, slice, (a << 32) + b)`` packing."""
+        n = len(flat)
+        if n < 2:
+            return (np.empty(0, np.int64), np.empty(0, np.int64))
+        big = (flat[:-1] << np.int64(32)) + flat[1:]
+        last = offs[1:] - 1
+        valid = np.ones(n - 1, dtype=bool)
+        valid[last[(last >= 0) & (last < n - 1)]] = False
+        lens = offs[1:] - offs[:-1]
+        docs = np.repeat(np.arange(len(lens), dtype=np.int64),
+                         np.maximum(lens - 1, 0))
+        return big[valid], docs
+
+    # ---- joint uni+bigram frequency table: Arrow-side partial counting.
+    # The explode plan materializes ~2 JVM rows per token (10^9 rows per
+    # 500M-token corpus slice) and its map-side hash aggregate falls back
+    # to sort/spill at ~10^7 distinct keys per task; the kernel counts
+    # each batch with one argsort+reduceat and merges per task, emitting
+    # the same pre-combined (k, cnt) partials — integer-exact, so the
+    # aggregated table equals the explode plan's row for row.
+    def freq_partials(batches):
+        acc_k, acc_c = [], []
+        for batch in batches:
+            _, flat, offs = _flat_offsets(batch)
+            if len(flat) == 0:
+                continue
+            pk, _ = _pair_keys(flat, offs)
+            keys = np.concatenate([-(flat + 1), pk])
+            keys.sort()
+            bound = np.flatnonzero(np.diff(keys)) + 1
+            starts = np.concatenate([[0], bound])
+            acc_k.append(keys[starts])
+            acc_c.append(np.diff(np.concatenate([starts, [len(keys)]])))
+        if not acc_k:
+            return
+        keys = np.concatenate(acc_k)
+        cnts = np.concatenate(acc_c)
+        order = np.argsort(keys, kind="stable")
+        keys, cnts = keys[order], cnts[order]
+        bound = np.concatenate([[0], np.flatnonzero(np.diff(keys)) + 1,
+                                [len(keys)]])
+        sums = np.add.reduceat(cnts, bound[:-1]) if len(keys) else cnts
+        yield pa.RecordBatch.from_arrays(
+            [pa.array(keys[bound[:-1]], pa.int64()),
+             pa.array(sums.astype(np.int64), pa.int64())],
+            names=["k", "cnt"])
+
+    freq = (df.select(tokens_col)
+            .mapInArrow(freq_partials, schema="k bigint, cnt bigint")
+            .groupBy("k").agg(F.sum("cnt").alias("cnt")).persist())
     if cache_out is not None:
         cache_out.append(freq)
     uni = freq.where(F.col("k") < 0)
@@ -323,22 +383,96 @@ def bigram_logprob_tokens(df, tokens_col: str = "tokens",
              .withColumn("__k1", -(F.shiftright("k", 32) + 1))
              .withColumn("__k2",
                          -(F.col("k").bitwiseAND(F.lit(4294967295)) + 1))
-             .join(u1, "__k1").join(u2, "__k2")
+             .join(F.broadcast(u1), "__k1").join(F.broadcast(u2), "__k2")
              .select("k", F.col("cnt").alias("c_bigram"),
                      F.log10(p).alias("__lp"))
              .persist())
     if cache_out is not None:
         cache_out.append(model)
-    occ = df.select(F.col(id_col), F.explode(bigram_keys).alias("k"))
-    hot = model.orderBy(F.desc("c_bigram"), F.asc("k")).limit(hot_keys)
-    hot_scored = occ.join(F.broadcast(hot), "k")
-    tail_scored = (occ.join(F.broadcast(hot.select("k")), "k", "left_anti")
-                   .join(model, "k"))
-    return (hot_scored.unionByName(tail_scored)
-            .groupBy(id_col)
-            .agg(F.count("*").alias("n_bigrams"),
-                 F.sum("c_bigram").alias("sum_bigram_freq"),
-                 F.round(F.avg("__lp"), 6).alias("mean_log10_prob")))
+
+    # ---- scoring pass: the hot head of the model rides into the scan as
+    # a broadcast sorted-array lookup (numpy searchsorted), so hot
+    # occurrences — the bulk, by Zipf — are pre-aggregated per doc INSIDE
+    # the kernel and the occurrence frame is exploded once, not three
+    # times (hot join + anti + tail of the old plan).  Only tail
+    # occurrences leave the kernel as (doc, k) rows for the one shuffle
+    # join against the vocab-sized model; per-doc hot partials ride along
+    # with spread NEGATIVE keys (model keys are >= 0, so they pass the
+    # left join unmatched and no single join partition inherits them all).
+    hot_pdf = (model.orderBy(F.desc("c_bigram"), F.asc("k"))
+               .limit(hot_keys).toPandas())
+    hk = hot_pdf["k"].to_numpy(dtype=np.int64)
+    order = np.argsort(hk, kind="stable")
+    sc = df.sparkSession.sparkContext
+    bc_hot = sc.broadcast((hk[order],
+                           hot_pdf["c_bigram"].to_numpy(np.int64)[order],
+                           hot_pdf["__lp"].to_numpy(np.float64)[order]))
+    id_type = dict(df.dtypes)[id_col]
+
+    def score_partials(batches):
+        hks, hc, hlp = bc_hot.value
+        nh = len(hks)
+        for batch in batches:
+            toks, flat, offs = _flat_offsets(batch)
+            n_docs = len(offs) - 1
+            if n_docs == 0 or len(flat) < 2:
+                continue
+            keys, docs = _pair_keys(flat, offs)
+            if len(keys) == 0:
+                continue
+            pos = np.searchsorted(hks, keys)
+            np.clip(pos, 0, max(nh - 1, 0), out=pos)
+            is_hot = (hks[pos] == keys) if nh else \
+                np.zeros(len(keys), dtype=bool)
+            n_h = np.bincount(docs[is_hot], minlength=n_docs)
+            c_h = np.zeros(n_docs, dtype=np.int64)
+            lp_h = np.zeros(n_docs, dtype=np.float64)
+            np.add.at(c_h, docs[is_hot], hc[pos[is_hot]])
+            np.add.at(lp_h, docs[is_hot], hlp[pos[is_hot]])
+            ids = batch.column(id_col)
+            if isinstance(ids, pa.ChunkedArray):
+                ids = ids.combine_chunks()
+            tail = ~is_hot
+            tail_docs = docs[tail]
+            has_hot = n_h > 0
+            hot_doc_idx = np.flatnonzero(has_hot)
+            out_ids = ids.take(pa.array(
+                np.concatenate([tail_docs, hot_doc_idx])))
+            n_tail = len(tail_docs)
+            # spread the per-doc partial rows across join partitions with
+            # synthetic negative keys (never present in the model)
+            neg = -(1 + (np.arange(len(hot_doc_idx), dtype=np.int64)
+                         & np.int64(0xFFF)))
+            k_col = np.concatenate([keys[tail], neg])
+            nulls = np.full(n_tail, -1, dtype=np.int64)
+            yield pa.RecordBatch.from_arrays(
+                [out_ids,
+                 pa.array(k_col, pa.int64()),
+                 pa.array(np.concatenate([nulls, n_h[hot_doc_idx]]),
+                          pa.int64()),
+                 pa.array(np.concatenate([nulls, c_h[hot_doc_idx]]),
+                          pa.int64()),
+                 pa.array(np.concatenate(
+                     [np.full(n_tail, np.nan), lp_h[hot_doc_idx]]),
+                     pa.float64())],
+                names=[id_col, "k", "__nh", "__ch", "__lph"])
+
+    partials = df.select(id_col, tokens_col).mapInArrow(
+        score_partials,
+        schema=f"`{id_col}` {id_type}, k bigint, __nh bigint, "
+               f"__ch bigint, __lph double")
+    # tail rows match the model (every observed bigram has both unigrams
+    # observed); hot-partial rows pass through unmatched on negative keys
+    joined = partials.join(model.hint("shuffle_hash"), "k", "left")
+    is_tail = F.col("__nh") < 0
+    n_occ = F.when(is_tail, F.lit(1)).otherwise(F.col("__nh"))
+    c_occ = F.when(is_tail, F.col("c_bigram")).otherwise(F.col("__ch"))
+    lp_occ = F.when(is_tail, F.col("__lp")).otherwise(F.col("__lph"))
+    return (joined.groupBy(id_col)
+            .agg(F.sum(n_occ).alias("n_bigrams"),
+                 F.sum(c_occ).alias("sum_bigram_freq"),
+                 F.round(F.sum(lp_occ) / F.sum(n_occ), 6)
+                 .alias("mean_log10_prob")))
 
 
 def perplexity_partition(scored: DataFrame,
