@@ -250,6 +250,7 @@ def classifier_train_tokens(df: DataFrame, label_col: str,
             w_cur, b_cur = w, b
 
             def part(batches):
+                from pyspark import TaskContext
                 gw = np.zeros(n_buckets, dtype=np.float64)
                 gb = 0.0
                 n = 0
@@ -273,27 +274,48 @@ def classifier_train_tokens(df: DataFrame, label_col: str,
                     loss += pl
                 if n == 0:
                     return
+                pid = TaskContext.get().partitionId()
                 yield pa.RecordBatch.from_arrays(
-                    [pa.array([gw.tobytes()], pa.binary()),
+                    [pa.array([pid % 16], pa.int32()),
+                     pa.array([gw.tobytes()], pa.binary()),
                      pa.array([gb], pa.float64()),
                      pa.array([n], pa.int64()),
                      pa.array([loss], pa.float64())],
-                    names=["gw", "gb", "n", "loss"])
+                    names=["salt", "gw", "gb", "n", "loss"])
 
-            parts = pruned.mapInArrow(
-                part, schema="gw binary, gb double, n bigint, loss double"
-            ).collect()
-            if not parts:
+            def merge_partials(pdf):
+                import pandas as pd
+                acc = np.zeros(n_buckets, dtype=np.float64)
+                for blob in pdf["gw"]:
+                    acc += np.frombuffer(blob, dtype=np.float64)
+                return pd.DataFrame({
+                    "gw": [acc.tobytes()],
+                    "gb": [pdf["gb"].sum()],
+                    "n": [pdf["n"].sum()],
+                    "loss": [pdf["loss"].sum()]})
+
+            # two-level salted tree merge (the library's sketch-merge
+            # idiom): per-partition 2 MB partials fan in executor-side to
+            # <= 16 rows, so the driver pulls MBs regardless of the input
+            # partition count, over the Arrow collect path instead of
+            # pickled rows
+            parts = (pruned.mapInArrow(
+                part,
+                schema="salt int, gw binary, gb double, n bigint, "
+                       "loss double")
+                .groupBy("salt")
+                .applyInPandas(merge_partials,
+                               schema="gw binary, gb double, n bigint, "
+                                      "loss double")
+                .toPandas())
+            if len(parts) == 0:
                 raise ValueError("classifier_train: empty input frame")
             gw = np.zeros(n_buckets, dtype=np.float64)
-            gb = 0.0
-            n = 0
-            loss = 0.0
-            for r in parts:
-                gw += np.frombuffer(r["gw"], dtype=np.float64)
-                gb += r["gb"]
-                n += r["n"]
-                loss += r["loss"]
+            gb = float(parts["gb"].sum())
+            n = int(parts["n"].sum())
+            loss = float(parts["loss"].sum())
+            for blob in parts["gw"]:
+                gw += np.frombuffer(blob, dtype=np.float64)
             gw = gw / n + l2 * w.astype(np.float64)
             gb = gb / n
             history.append(loss / n)

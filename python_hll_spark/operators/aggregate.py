@@ -383,8 +383,15 @@ def scalar_partials_arrow(df: DataFrame, group_cols: list[str], value_col: str,
 
 
 def merge_sketches(partials: DataFrame, group_cols: list[str],
-                   spec: SketchSpec, two_level: bool = True) -> DataFrame:
-    """Stages 2+3: salted tree merge down to one state row per group."""
+                   spec: SketchSpec, two_level: bool | str = "auto") -> DataFrame:
+    """Stages 2+3: salted tree merge down to one state row per group.
+
+    ``two_level="auto"`` (default) keeps the salt level only when the
+    partial frame has enough upstream partitions for per-group fan-in to
+    matter (> 64): a thousand-task 100 TB scan still tree-merges, while a
+    small scan skips one shuffle + Python stage whose per-group input
+    would have been a handful of rows anyway.  The decision reads the
+    plan's partitioning, not the data — no extra job."""
     import pandas as pd
 
     group_fields = [f"`{f.name}` {f.dataType.simpleString()}"
@@ -407,6 +414,11 @@ def merge_sketches(partials: DataFrame, group_cols: list[str],
         })
         return pd.DataFrame(row)
 
+    if two_level == "auto":
+        try:
+            two_level = partials.rdd.getNumPartitions() > 64
+        except Exception:
+            two_level = True
     lvl = partials
     if two_level and "salt" in partials.columns:
         lvl = (partials
