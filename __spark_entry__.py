@@ -367,7 +367,7 @@ def q_minhash_dedup_documents(spark, sf_dir):
                        & (F.col("id_a") < 1000000))
            .select(F.col("id_a").alias("doc_id"),
                    F.col("est_jaccard").alias("__ej")))
-    return (docs.select("doc_id").join(inj, "doc_id", "left")
+    return (docs.select("doc_id").join(F.broadcast(inj), "doc_id", "left")
             .select("doc_id",
                     F.coalesce(F.col("__ej") == 1.0, F.lit(False))
                     .alias("dup_pair_found")))
