@@ -1233,9 +1233,9 @@ def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
     pairs = (cand0.where(F.col("est_jaccard") >= threshold)
              .select("id_a", "id_b"))
     comps = connected_components(pairs)  # eager (checkpointed)
-    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
-    drop_ids = (comps.join(keep, "component")
-                .where(F.col("id") != F.col("keep_id"))
+    # component IS the min member id (the connected_components contract),
+    # so the keep-representative rule is a filter, not an agg + join
+    drop_ids = (comps.where(F.col("id") != F.col("component"))
                 .select(F.col("id").alias(id_col)))
     batch = new_df.join(drop_ids, id_col, "left_anti")
     b_sigs = sigs_all.join(drop_ids, id_col, "left_anti")
@@ -1302,9 +1302,9 @@ def near_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
     comps = connected_components(pairs)
     for c in caches:
         c.unpersist()
-    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
-    drop_ids = (comps.join(keep, "component")
-                .where(F.col("id") != F.col("keep_id"))
+    # component IS the min member id (the connected_components contract),
+    # so the keep-representative rule is a filter, not an agg + join
+    drop_ids = (comps.where(F.col("id") != F.col("component"))
                 .select(F.col("id").alias(id_col)))
     return df.join(drop_ids, on=id_col, how="left_anti")
 
@@ -1333,9 +1333,9 @@ def near_dedup_tokens(df: DataFrame, tokens_col: str = "tokens",
     comps = connected_components(pairs)
     for c in caches:
         c.unpersist()
-    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
-    drop_ids = (comps.join(keep, "component")
-                .where(F.col("id") != F.col("keep_id"))
+    # component IS the min member id (the connected_components contract),
+    # so the keep-representative rule is a filter, not an agg + join
+    drop_ids = (comps.where(F.col("id") != F.col("component"))
                 .select(F.col("id").alias(id_col)))
     return df.join(drop_ids, on=id_col, how="left_anti")
 

@@ -347,8 +347,8 @@ def semdedup(df: DataFrame, n_clusters: int = 64, threshold: float = 0.95,
                            seed, max_cluster, centroids) \
         .select("id_a", "id_b")
     comps = connected_components(pairs)
-    keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
-    drop_ids = (comps.join(keep, "component")
-                .where(F.col("id") != F.col("keep_id"))
+    # component IS the min member id (the connected_components contract),
+    # so the keep-representative rule is a filter, not an agg + join
+    drop_ids = (comps.where(F.col("id") != F.col("component"))
                 .select(F.col("id").alias(id_col)))
     return df.join(drop_ids, on=id_col, how="left_anti")

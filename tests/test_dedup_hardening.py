@@ -419,3 +419,27 @@ def test_cc_cap_exceeded_falls_back_to_distributed(spark):
         [(i, i + 1) for i in range(12)], "id_a long, id_b long")
     with pytest.warns(RuntimeWarning, match="did not converge"):
         connected_components(edges, max_iter=2, small_cap=5).collect()
+
+
+def test_keep_rule_filter_equals_agg_join(spark):
+    """The keep-representative rule in near_dedup/semdedup is now the
+    filter ``id != component`` (round 6: drops one agg + one join per
+    call).  Pin its equivalence to the original min-agg + join
+    formulation over connected_components output on a messy graph."""
+    from pyspark.sql import functions as F
+
+    from python_hll_spark.operators.dedup import connected_components
+
+    rng = np.random.default_rng(11)
+    e = [(int(a), int(b)) for a, b in rng.integers(0, 80, size=(150, 2))
+         if a != b]
+    edges = spark.createDataFrame(e, "id_a long, id_b long")
+    for cap in (None, 1 << 20):  # distributed AND driver union-find paths
+        comps = connected_components(edges, small_cap=cap)
+        filt = {r["id"] for r in
+                comps.where(F.col("id") != F.col("component")).collect()}
+        keep = comps.groupBy("component").agg(F.min("id").alias("keep_id"))
+        agg = {r["id"] for r in
+               (comps.join(keep, "component")
+                .where(F.col("id") != F.col("keep_id"))).collect()}
+        assert filt == agg and len(filt) > 0

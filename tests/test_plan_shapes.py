@@ -38,8 +38,9 @@ def test_ndv_column_plan(spark):
     below_map = plan.split("MapInArrow")[-1]
     assert "Exchange" not in below_map, below_map
 
-    # exactly two state-row exchanges (salted + final merge)
-    assert plan.count("Exchange") == 2
+    # adaptive salt level: a small scan (<= 64 upstream partitions) skips
+    # the salted pre-merge, leaving exactly ONE state-row exchange
+    assert plan.count("Exchange") == 1
 
 
 def test_ndv_tokens_arrow_plan(spark):
@@ -52,7 +53,21 @@ def test_ndv_tokens_arrow_plan(spark):
     assert "MapInArrow" in plan
     below = plan.split("MapInArrow")[-1]
     assert "Exchange" not in below
-    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange") == 1  # salt skipped at 2 partitions
+
+
+def test_ndv_wide_scan_keeps_salted_tree_merge(spark):
+    """The adaptive salt decision must KEEP the two-level merge when the
+    partial frame has many upstream partitions (a 100 TB scan is thousands
+    of tasks): > 64 partitions -> salted exchange + final exchange."""
+    from python_hll_spark.operators.ndv import hll_ndv_tokens
+    from python_hll_spark.sources.seqs import seqs_table
+
+    df = seqs_table(spark, 130, partitions=65)
+    plan = _plan(hll_ndv_tokens(df, by=["source"]))
+    assert "MapInArrow" in plan
+    assert "Exchange" not in plan.split("MapInArrow")[-1]
+    assert plan.count("Exchange") == 2  # salted + final merge
 
 
 def test_dedup_exact_plan(spark):
@@ -87,7 +102,7 @@ def test_token_profile_plan(spark):
     assert "MapInArrow" in plan
     below = plan.split("MapInArrow")[-1]
     assert "Exchange" not in below
-    assert plan.count("Exchange") == 2  # salted + final merge only
+    assert plan.count("Exchange") == 1  # salt skipped on a small scan
 
 
 def test_ndv_composite_group_plan(spark):
@@ -104,7 +119,7 @@ def test_ndv_composite_group_plan(spark):
     assert cols == {"user_id", "event_type", "ts"}
     assert "MapInArrow" in plan
     assert "Exchange" not in plan.split("MapInArrow")[-1]
-    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange") == 1  # salt skipped on a small scan
 
 
 def test_quantiles_composite_group_plan(spark):
@@ -117,7 +132,7 @@ def test_quantiles_composite_group_plan(spark):
                                   by=["event_type", "day"]))
     assert "MapInArrow" in plan
     assert "Exchange" not in plan.split("MapInArrow")[-1]
-    assert plan.count("Exchange") == 2
+    assert plan.count("Exchange") == 1  # salt skipped on a small scan
 
 
 def test_unigram_logprob_single_corpus_agg(spark):
