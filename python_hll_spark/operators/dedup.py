@@ -469,8 +469,8 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
                         max_bucket: int = 512,
                         persist_bands: bool = True,
                         cache_out: list | None = None,
-                        max_oversize_keys: int = _MAX_OVERSIZE_COLLECT
-                        ) -> DataFrame:
+                        max_oversize_keys: int = _MAX_OVERSIZE_COLLECT,
+                        banded: DataFrame | None = None) -> DataFrame:
     """Band the signatures and self-join buckets -> (id_a, id_b, est_jaccard).
 
     est_jaccard = fraction of matching signature positions.
@@ -496,14 +496,18 @@ def lsh_candidate_pairs(sig_df: DataFrame, bands: int = 32,
       dups should be removed by dedup_exact first anyway.
     """
 
-    banded = _band_keys_frame(sig_df, bands, id_col)
-    if persist_bands:
-        # the banded frame feeds THREE consumers (sizes agg, the small
-        # self-join, the star branch); persisting it runs the banding
-        # kernel once instead of three times
-        banded = banded.persist()
-        if cache_out is not None:
-            cache_out.append(banded)
+    if banded is None:
+        banded = _band_keys_frame(sig_df, bands, id_col)
+        if persist_bands:
+            # the banded frame feeds THREE consumers (sizes agg, the small
+            # self-join, the star branch); persisting it runs the banding
+            # kernel once instead of three times
+            banded = banded.persist()
+            if cache_out is not None:
+                cache_out.append(banded)
+    # else: caller supplies an (id, band, band_key) frame it already
+    # persists/releases — the incremental probe shares ONE banding pass
+    # between the within-batch LSH and the store probe
 
     # Oversize buckets are BOUNDED in number: at most rows/max_bucket =
     # bands*N/max_bucket of them.  The eager size scan (which also
@@ -1163,10 +1167,15 @@ def incremental_near_dedup(new_df: DataFrame, store_sigs: DataFrame,
     Composition (every piece shared with the batch pipeline):
       1. within-batch ``near_dedup`` (signatures -> capped LSH ->
          connected components -> min-id representative);
-      2. survivors' band keys BROADCAST-join the store's persisted band
+      2. the batch's band keys BROADCAST-join the store's persisted band
          keys (the ``decontaminate`` train-vs-eval shape with the store as
          the train side: the store — the 100 TB object — is scanned once
-         and never shuffled; the daily batch is the small side);
+         and never shuffled; the daily batch is the small side).  The
+         probe uses ALL batch signatures, not just step-1 survivors —
+         result-identical (extra hits can only name within-batch-dropped
+         ids, and the final anti-joins run against post-collapse frames)
+         and it decouples the store scans from step 1 so they overlap on
+         a background thread;
       3. candidate store signatures score against the broadcast batch
          signatures; batch ids with est_jaccard >= ``threshold`` to ANY
          store doc are dropped (their whole within-batch cluster already
@@ -1224,26 +1233,29 @@ def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
                                  bands: int, id_col: str,
                                  cache_out: list | None,
                                  outputs: dict | None = None) -> DataFrame:
+    from pyspark import InheritableThread
+
     caches = cache_out if cache_out is not None else []
     sigs_all = sigs_all.persist()
     caches.append(sigs_all)
 
-    # within-batch collapse (same plan as near_dedup, sharing sigs_all)
-    cand0 = lsh_candidate_pairs(sigs_all, bands, id_col, cache_out=caches)
-    pairs = (cand0.where(F.col("est_jaccard") >= threshold)
-             .select("id_a", "id_b"))
-    comps = connected_components(pairs)  # eager (checkpointed)
-    # component IS the min member id (the connected_components contract),
-    # so the keep-representative rule is a filter, not an agg + join
-    drop_ids = (comps.where(F.col("id") != F.col("component"))
-                .select(F.col("id").alias(id_col)))
-    batch = new_df.join(drop_ids, id_col, "left_anti")
-    b_sigs = sigs_all.join(drop_ids, id_col, "left_anti")
+    # ONE banding pass shared by the within-batch LSH and the store probe
+    # (the probe used to re-band the post-collapse survivors — a second
+    # kernel pass over ~the whole batch), materialized up front so the two
+    # concurrent consumers below read the cache instead of racing to
+    # compute the first touch
+    banded = _band_keys_frame(sigs_all, bands, id_col).persist()
+    caches.append(banded)
+    banded.count()
 
-    # store probe: batch is the SMALL side — broadcast its bands/sigs so
-    # the store scans once and never shuffles
-    b_bands = (_band_keys_frame(b_sigs, bands, id_col)
-               .withColumnRenamed(id_col, "__new_id"))
+    # store probe, DECOUPLED from the within-batch collapse: probing with
+    # ALL batch signatures (not just within-batch survivors) is
+    # result-identical — an extra candidate/hit row can only name an id
+    # the within-batch collapse drops, and both final anti-joins run
+    # against post-collapse frames — and it lets the two store scans run
+    # on a background thread OVERLAPPING the connected-components actions
+    # below instead of serializing behind them.
+    b_bands = banded.withColumnRenamed(id_col, "__new_id")
     cand = (store_bands.join(F.broadcast(b_bands), ["band", "band_key"])
             .select(F.col(id_col).alias("__store_id"), "__new_id")
             .distinct())
@@ -1255,8 +1267,8 @@ def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
     # behind the candidate computation (a filtered-broadcast variant
     # measured 2x slower end-to-end for exactly that reason), and the
     # batch side is the small side by definition
-    n_sigs = b_sigs.select(F.col(id_col).alias("__new_id"),
-                           F.col("sig").alias("__n_sig"))
+    n_sigs = sigs_all.select(F.col(id_col).alias("__new_id"),
+                             F.col("sig").alias("__n_sig"))
     match_frac = (F.size(F.filter(
         F.zip_with("__s_sig", "__n_sig", lambda x, y: x == y),
         lambda v: v)) / F.size("__s_sig"))
@@ -1275,6 +1287,31 @@ def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
             .select(F.col("__new_id").alias(id_col)).distinct()
             .persist())
     caches.append(hits)
+
+    def _materialize_hits():
+        try:
+            hits.count()
+        except Exception:
+            pass  # surfaced by the final action that consumes `hits`
+
+    probe = InheritableThread(target=_materialize_hits, daemon=True)
+    probe.start()
+
+    # within-batch collapse (same plan as near_dedup, sharing the banding
+    # cache) — its driver-heavy actions (oversize scan, connected
+    # components) run while the store probe streams on the thread above
+    cand0 = lsh_candidate_pairs(sigs_all, bands, id_col, cache_out=caches,
+                                banded=banded)
+    pairs = (cand0.where(F.col("est_jaccard") >= threshold)
+             .select("id_a", "id_b"))
+    comps = connected_components(pairs)  # eager (checkpointed)
+    # component IS the min member id (the connected_components contract),
+    # so the keep-representative rule is a filter, not an agg + join
+    drop_ids = (comps.where(F.col("id") != F.col("component"))
+                .select(F.col("id").alias(id_col)))
+    batch = new_df.join(drop_ids, id_col, "left_anti")
+    b_sigs = sigs_all.join(drop_ids, id_col, "left_anti")
+    probe.join()
     if outputs is not None:
         # survivors' signatures SLICED from the already-computed batch
         # signature cache — the store-append frame without a second
