@@ -180,3 +180,21 @@ def test_train_tolerates_empty_docs(spark):
     assert np.isfinite(model["weights"]).all()
     assert np.isfinite(model["bias"])
     assert len(model["history"]) == 3
+
+
+def test_train_tokens_partition_invariant(spark):
+    """The round-6 executor-side gradient tree-merge (16-way salted merge
+    feeding an Arrow collect) must leave training numerically unchanged
+    under repartitioning: full-batch gradients are partial sums, so
+    weights may differ only by float association ulp."""
+    from python_hll_spark.functions.classifier import classifier_train_tokens
+    from python_hll_spark.operators.dedup import tokenize_word_hashes
+
+    df = _labeled_corpus(spark, n=80)
+    toks = tokenize_word_hashes(df).join(df.select("doc_id", "y"), "doc_id")
+    m_few = classifier_train_tokens(toks.repartition(2), "y",
+                                    n_buckets=1 << 12, iters=4)
+    m_many = classifier_train_tokens(toks.repartition(97), "y",
+                                     n_buckets=1 << 12, iters=4)
+    assert abs(m_few["bias"] - m_many["bias"]) < 1e-6
+    assert float(np.abs(m_few["weights"] - m_many["weights"]).max()) < 1e-5

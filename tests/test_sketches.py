@@ -184,3 +184,74 @@ def test_tdigest_tail_quantiles():
         est = sk.quantile(q)
         true_rank = np.searchsorted(sorted_data, est) / len(data)
         assert abs(true_rank - q) < 0.005, (q, true_rank, est)
+
+
+# ------------------------------------- size-adaptive serialization (round 6)
+def test_cms_serialization_covers_all_encodings():
+    """The size-adaptive CMS codec has three encodings: sparse
+    positions+counts (CMS2: few nonzero cells), dense-narrow (CMS3: most
+    cells hit, counts fit a narrow uint), legacy int64 grid (CMS1: read
+    compatibility).  Roundtrip + cross-encoding byte-determinism for each."""
+    cfg = CMSConfig(depth=4, width=2048, seed=7)
+    # sparse: a handful of keys
+    sparse = CMSSketch(cfg)
+    sparse.update(np.arange(10, dtype=np.int64))
+    b = sparse.to_bytes()
+    assert b[:4] == b"CMS2"
+    assert CMSSketch.from_bytes(b).to_bytes() == b
+    assert np.array_equal(CMSSketch.from_bytes(b).counts, sparse.counts)
+    # dense-narrow: most cells nonzero, counts small
+    dense = CMSSketch(cfg)
+    dense.update(_zipf_tokens(200_000, vocab=100_000))
+    b2 = dense.to_bytes()
+    assert b2[:4] in (b"CMS2", b"CMS3")
+    assert np.array_equal(CMSSketch.from_bytes(b2).counts, dense.counts)
+    assert CMSSketch.from_bytes(b2).total == dense.total
+    # legacy dense int64 blob still readable
+    import struct
+    legacy = (b"CMS1" + struct.pack("<iiqq", cfg.depth, cfg.width, cfg.seed,
+                                    dense.total) + dense.counts.tobytes())
+    assert np.array_equal(CMSSketch.from_bytes(legacy).counts, dense.counts)
+    # determinism: a merge of two halves byte-matches the sequential build
+    keys = _zipf_tokens(50_000)
+    seq = CMSSketch(cfg)
+    seq.update(keys)
+    m1, m2 = CMSSketch(cfg), CMSSketch(cfg)
+    m1.update(keys[:20_000])
+    m2.update(keys[20_000:])
+    m1.merge(m2)
+    assert m1.to_bytes() == seq.to_bytes()
+
+
+def test_bloom_serialization_sparse_dense_boundary():
+    """Bloom codec: sparse set-bit positions (BLM2) for light states,
+    packed bitmap (BLM1) once positions stop paying, legacy readable,
+    byte-deterministic across build orders."""
+    cfg = BloomConfig(log2_bits=16, num_hashes=4, seed=3)
+    light = BloomSketch(cfg)
+    light.update(np.arange(5, dtype=np.int64))
+    b = light.to_bytes()
+    assert b[:4] == b"BLM2"
+    back = BloomSketch.from_bytes(b)
+    assert np.array_equal(back.unpacked, light.unpacked)
+    assert back.to_bytes() == b
+    heavy = BloomSketch(cfg)
+    heavy.update(np.arange(60_000, dtype=np.int64))
+    b2 = heavy.to_bytes()
+    assert b2[:4] == b"BLM1"
+    assert np.array_equal(BloomSketch.from_bytes(b2).unpacked, heavy.unpacked)
+    # legacy blob (pre-BLM2 writer) still readable
+    import struct
+    legacy = (b"BLM1" + struct.pack("<iiqq", cfg.log2_bits, cfg.num_hashes,
+                                    cfg.seed, light.n_added)
+              + light.bits.tobytes())
+    assert np.array_equal(BloomSketch.from_bytes(legacy).unpacked,
+                          light.unpacked)
+    # determinism across partitionings
+    a1, a2 = BloomSketch(cfg), BloomSketch(cfg)
+    a1.update(np.arange(0, 100, dtype=np.int64))
+    a2.update(np.arange(100, 200, dtype=np.int64))
+    a1.merge(a2)
+    whole = BloomSketch(cfg)
+    whole.update(np.arange(200, dtype=np.int64))
+    assert a1.to_bytes() == whole.to_bytes()
