@@ -1241,12 +1241,14 @@ def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
 
     # ONE banding pass shared by the within-batch LSH and the store probe
     # (the probe used to re-band the post-collapse survivors — a second
-    # kernel pass over ~the whole batch), materialized up front so the two
-    # concurrent consumers below read the cache instead of racing to
-    # compute the first touch
+    # kernel pass over ~the whole batch).  The LSH's eager oversize-bucket
+    # scan below is the action that materializes sigs_all + banded, so the
+    # two concurrent consumers read the cache instead of racing to compute
+    # the first touch — and no extra materialization job is paid.
     banded = _band_keys_frame(sigs_all, bands, id_col).persist()
     caches.append(banded)
-    banded.count()
+    cand0 = lsh_candidate_pairs(sigs_all, bands, id_col, cache_out=caches,
+                                banded=banded)
 
     # store probe, DECOUPLED from the within-batch collapse: probing with
     # ALL batch signatures (not just within-batch survivors) is
@@ -1298,10 +1300,8 @@ def _incremental_near_dedup_impl(new_df: DataFrame, sigs_all: DataFrame,
     probe.start()
 
     # within-batch collapse (same plan as near_dedup, sharing the banding
-    # cache) — its driver-heavy actions (oversize scan, connected
-    # components) run while the store probe streams on the thread above
-    cand0 = lsh_candidate_pairs(sigs_all, bands, id_col, cache_out=caches,
-                                banded=banded)
+    # cache) — the connected-components actions run while the store probe
+    # streams on the thread above
     pairs = (cand0.where(F.col("est_jaccard") >= threshold)
              .select("id_a", "id_b"))
     comps = connected_components(pairs)  # eager (checkpointed)
